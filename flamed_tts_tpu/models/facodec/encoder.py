@@ -1,0 +1,105 @@
+"""FaCodec encoder: wav (B, T, 1) -> latents (B, T/200, 256).
+
+Re-design of the reference FACodecEncoder (flamed/models/facodec/
+facodec.py:136-243): conv stem (k7) -> 4 EncoderBlocks (3 dilated residual
+units + strided downsampling conv, channels doubling) -> filtered Snake ->
+output conv.  hop = prod(up_ratios) = 200 (80 fps at 16 kHz).
+
+Pure functions over a structured param pytree (see init_encoder_params for
+the exact structure); weight-norm is folded into plain conv weights at
+conversion time.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flamed_tts_tpu.ops.conv1d import conv1d
+from flamed_tts_tpu.ops.resample import snake_filtered
+
+
+def residual_unit(x: jnp.ndarray, p: Dict, dilation: int) -> jnp.ndarray:
+    """Snake -> dilated k7 conv -> Snake -> k1 conv, residual
+    (facodec.py:121-133)."""
+    pad = ((7 - 1) * dilation) // 2
+    h = snake_filtered(x, p["act1"]["alpha"], p["act1"]["beta"])
+    h = conv1d(h, p["conv1"]["w"], p["conv1"]["b"], padding=pad, dilation=dilation)
+    h = snake_filtered(h, p["act2"]["alpha"], p["act2"]["beta"])
+    h = conv1d(h, p["conv2"]["w"], p["conv2"]["b"])
+    return x + h
+
+
+def encoder_block(x: jnp.ndarray, p: Dict, stride: int) -> jnp.ndarray:
+    """3 residual units (dilations 1, 3, 9) + strided doubling conv
+    (facodec.py:136-155)."""
+    for unit, dilation in zip(p["res"], (1, 3, 9)):
+        x = residual_unit(x, unit, dilation)
+    x = snake_filtered(x, p["act"]["alpha"], p["act"]["beta"])
+    pad = stride // 2 + stride % 2
+    return conv1d(x, p["down"]["w"], p["down"]["b"], stride=stride, padding=pad)
+
+
+def encoder_forward(params: Dict, wav: jnp.ndarray, up_ratios: Sequence[int] = (2, 4, 5, 5)) -> jnp.ndarray:
+    """(B, T, 1) float32 -> (B, T // hop, out_channels)."""
+    x = conv1d(wav, params["stem"]["w"], params["stem"]["b"], padding=3)
+    for block, stride in zip(params["blocks"], up_ratios):
+        x = encoder_block(x, block, stride)
+    x = snake_filtered(x, params["final_act"]["alpha"], params["final_act"]["beta"])
+    return conv1d(x, params["out"]["w"], params["out"]["b"], padding=1)
+
+
+# ----- parameter construction ------------------------------------------
+
+
+def _conv_p(rng, c_out: int, c_in: int, k: int) -> Dict:
+    w = jax.random.truncated_normal(rng, -2.0, 2.0, (c_out, c_in, k)) * 0.02
+    return {"w": w.astype(jnp.float32), "b": jnp.zeros((c_out,), jnp.float32)}
+
+
+def _act_p(c: int) -> Dict:
+    return {
+        "alpha": jnp.zeros((c,), jnp.float32),
+        "beta": jnp.zeros((c,), jnp.float32),
+    }
+
+
+def _res_unit_p(rng, dim: int) -> Dict:
+    r1, r2 = jax.random.split(rng)
+    return {
+        "act1": _act_p(dim),
+        "conv1": _conv_p(r1, dim, dim, 7),
+        "act2": _act_p(dim),
+        "conv2": _conv_p(r2, dim, dim, 1),
+    }
+
+
+def init_encoder_params(
+    rng: jax.Array,
+    ngf: int = 32,
+    up_ratios: Sequence[int] = (2, 4, 5, 5),
+    out_channels: int = 256,
+) -> Dict:
+    """Random parameters with the exact converted-checkpoint structure
+    (shapes match the reference constructor, facodec.py:183-213)."""
+    keys = iter(jax.random.split(rng, 64))
+    d = ngf
+    params: Dict = {"stem": _conv_p(next(keys), d, 1, 7), "blocks": []}
+    for stride in up_ratios:
+        d *= 2
+        block = {
+            "res": [_res_unit_p(next(keys), d // 2) for _ in range(3)],
+            "act": _act_p(d // 2),
+            "down": _conv_p(next(keys), d, d // 2, 2 * stride),
+        }
+        params["blocks"].append(block)
+    params["final_act"] = _act_p(d)
+    params["out"] = _conv_p(next(keys), out_channels, d, 3)
+    return params
+
+
+def encoder_hop_length(up_ratios: Sequence[int] = (2, 4, 5, 5)) -> int:
+    return int(np.prod(up_ratios))

@@ -1,0 +1,171 @@
+"""Attention-free ConvNeXt / adaLN denoiser building blocks.
+
+TPU-native re-design of the reference's DiT-style denoiser components
+(flamed/models/synthesizer/prob_generator.py:35-264): depthwise conv-31
+ConvNeXt blocks modulated by adaptive LayerNorm, a timestep embedder, and
+the DiT final layer.  This stack runs once per Euler step and dominates
+inference FLOPs, so everything is channel-last, statically shaped, and
+mask-aware (see ops/norms.py for why masking must enter the GroupNorm).
+
+Conventions preserved from the reference:
+* GELU is the exact (erf) variant (torch F.gelu default);
+* ResBlock LayerNorms are affine with eps 1e-6; FinalLayer norms have no
+  affine parameters;
+* adaLN modulation order is (shift_conv, scale_conv, gate_conv,
+  shift_mlp, scale_mlp[, gate_mlp]).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from flamed_tts_tpu.ops.embeddings import dit_timestep_embedding
+from flamed_tts_tpu.ops.norms import MaskedGroupNorm, layer_norm_noaffine
+
+_gelu_exact = partial(nn.gelu, approximate=False)
+
+
+def modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    return x * (1.0 + scale) + shift
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal frequency embedding -> 2-layer MLP (prob_generator.py:35-72)."""
+
+    hidden_size: int
+    frequency_embedding_size: int = 256
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        t_freq = dit_timestep_embedding(t, self.frequency_embedding_size)
+        h = nn.Dense(self.hidden_size, name="mlp_0")(t_freq)
+        h = nn.silu(h)
+        return nn.Dense(self.hidden_size, name="mlp_2")(h)
+
+
+class ConvNeXtBlock(nn.Module):
+    """Depthwise conv + channel GroupNorm + pointwise MLP, residual
+    (prob_generator.py:75-111).  Channel-last; mask-aware."""
+
+    channels: int
+    kernel: int = 31
+    padding: int = 15
+    expand: int = 1
+    groups: Optional[int] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, pad_mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        groups = self.groups if self.groups is not None else self.channels
+        h = x
+        if pad_mask is not None:
+            # Zero pads before the depthwise conv so the true-sequence
+            # boundary sees zeros, exactly like the reference's conv
+            # zero-padding at its (exact) sequence end.
+            h = jnp.where(pad_mask[:, :, None], 0.0, h)
+        h = nn.Conv(
+            self.channels,
+            kernel_size=(self.kernel,),
+            padding=[(self.padding, self.padding)],
+            feature_group_count=groups,
+            name="conv_1",
+        )(h)
+        h = MaskedGroupNorm(
+            num_groups=self.channels, channels=self.channels, name="ln_1"
+        )(h, pad_mask)
+        h = nn.Dense(self.channels * self.expand, name="conv_2")(h)
+        h = _gelu_exact(h)
+        h = nn.Dense(self.channels, name="conv_3")(h)
+        return x + h
+
+
+class AdaLNResBlock(nn.Module):
+    """adaLN-modulated ConvNeXt + gated MLP residual block
+    (prob_generator.py:114-164)."""
+
+    channels: int
+    convnext_kernel: int = 31
+    convnext_padding: int = 15
+    convnext_expand: int = 1
+    convnext_groups: Optional[int] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        y: jnp.ndarray,
+        pad_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        mod = nn.Dense(6 * self.channels, name="adaLN_modulation")(nn.silu(y))
+        (
+            shift_conv,
+            scale_conv,
+            gate_conv,
+            shift_mlp,
+            scale_mlp,
+            gate_mlp,
+        ) = jnp.split(mod, 6, axis=-1)
+
+        h = nn.LayerNorm(epsilon=1e-6, name="ln_conv")(x)
+        h = ConvNeXtBlock(
+            channels=self.channels,
+            kernel=self.convnext_kernel,
+            padding=self.convnext_padding,
+            expand=self.convnext_expand,
+            groups=self.convnext_groups,
+            name="conv_in",
+        )(modulate(h, shift_conv, scale_conv), pad_mask)
+        x = x + gate_conv * h
+
+        h = nn.LayerNorm(epsilon=1e-6, name="ln_mlp")(x)
+        h = nn.Dense(self.channels, name="mlp_0")(modulate(h, shift_mlp, scale_mlp))
+        h = nn.silu(h)
+        h = nn.Dense(self.channels, name="mlp_2")(h)
+        return x + gate_mlp * h
+
+
+class FinalLayer(nn.Module):
+    """DiT final layer: adaLN'd ConvNeXt + k3 output conv
+    (prob_generator.py:208-264)."""
+
+    model_channels: int
+    out_channels: int
+    convnext_kernel: int = 31
+    convnext_padding: int = 15
+    convnext_expand: int = 1
+    convnext_groups: Optional[int] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        c: jnp.ndarray,
+        pad_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        mod = nn.Dense(5 * self.model_channels, name="adaLN_modulation")(nn.silu(c))
+        shift_conv, scale_conv, gate_conv, shift_mlp, scale_mlp = jnp.split(
+            mod, 5, axis=-1
+        )
+
+        h = layer_norm_noaffine(x)
+        h = ConvNeXtBlock(
+            channels=self.model_channels,
+            kernel=self.convnext_kernel,
+            padding=self.convnext_padding,
+            expand=self.convnext_expand,
+            groups=self.convnext_groups,
+            name="conv_in",
+        )(modulate(h, shift_conv, scale_conv), pad_mask)
+        x = x + gate_conv * h
+
+        x = modulate(layer_norm_noaffine(x), shift_mlp, scale_mlp)
+        if pad_mask is not None:
+            x = jnp.where(pad_mask[:, :, None], 0.0, x)
+        return nn.Conv(
+            self.out_channels, kernel_size=(3,), padding=[(1, 1)], name="conv_out"
+        )(x)
