@@ -83,6 +83,11 @@ def timbre_encoder_forward(
         x = residual + h
         residual = x
         h = _layer_norm(x, layer["ln2"])
+        if pad_mask is not None:
+            # The k=5 conv-FFN mixes adjacent frames: zero padded rows so
+            # the window at the true boundary sees zeros, exactly like the
+            # reference's exact-length conv zero padding.
+            h = jnp.where(pad_mask[:, :, None], 0.0, h)
         h = conv1d(h, layer["ffn1"]["w"], layer["ffn1"]["b"], padding=conv_kernel // 2)
         h = jax.nn.relu(h)
         h = h @ layer["ffn2"]["w"].T + layer["ffn2"]["b"]

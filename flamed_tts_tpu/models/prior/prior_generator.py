@@ -208,44 +208,52 @@ class PriorGenerator(nn.Module):
 
         # Shared decoder runs over the target alone, positions 0..L-1
         # (prior_generator.py:96,165).
-        pos_table = sinusoid_position_table(
-            max(self.dec_max_len, concat_len), self.dec_hidden
-        )
+        pos_table = sinusoid_position_table(concat_len, self.dec_hidden)
         output = output + pos_table[None, :l, :]
         output = self.shared_decoder(output, tgt_mask, deterministic=deterministic)
 
-        prompt_mask = (
-            jnp.arange(p, dtype=prompt_lens.dtype)[None, :] >= prompt_lens[:, None]
+        # --- compacted [prompt ‖ target] layout -------------------------
+        # The decoder's conv-FFN mixes adjacent positions, so the target
+        # must sit IMMEDIATELY after the last real prompt token (as in the
+        # reference's exact-length concatenation) — a padded prompt bucket
+        # would otherwise open a gap at the boundary.  Row j of the
+        # compacted sequence gathers:
+        #     j <  p_len[b]  -> prompt row j
+        #     j >= p_len[b]  -> target row (j - p_len[b])
+        # which also makes position ids a plain arange (matching the
+        # reference's 0..p_len+tgt-1 numbering for every batch element).
+        p_lens = prompt_lens.astype(jnp.int32)
+        slots = jnp.arange(concat_len, dtype=jnp.int32)[None, :]  # (1, P+L)
+        in_prompt = slots < p_lens[:, None]                        # (B, P+L)
+        gather_idx = jnp.where(
+            in_prompt,
+            jnp.minimum(slots, p - 1),
+            jnp.clip(p + slots - p_lens[:, None], 0, concat_len - 1),
         )
-        concat_mask = jnp.concatenate([prompt_mask, tgt_mask], axis=1)
 
-        # Exact-length position ids: prompt tokens 0..P-1 (pads masked),
-        # target token i at prompt_len_actual + i.
-        prompt_pos = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32)[None, :], (b, p))
-        target_pos = prompt_lens.astype(jnp.int32)[:, None] + jnp.arange(
-            l, dtype=jnp.int32
-        )[None, :]
-        concat_pos = jnp.concatenate([prompt_pos, target_pos], axis=1)
-        pos_enc = jnp.take(pos_table, concat_pos, axis=0)  # (B, P+L, D)
+        tgt_lens = jnp.sum(~tgt_mask, axis=1).astype(jnp.int32)
+        concat_mask = slots >= (p_lens + tgt_lens)[:, None]
 
+        # Un-compaction: target row i lives at compacted row p_len + i.
+        scatter_idx = jnp.minimum(p_lens[:, None] + jnp.arange(l, dtype=jnp.int32)[None, :], concat_len - 1)
+
+        seg = jnp.where(
+            in_prompt[:, :, None],
+            self.prompt_seg_emb.astype(lr_out.dtype),
+            self.target_seg_emb.astype(lr_out.dtype),
+        )
         prompt_embs = self.code_embedding(prompts)  # (B, n_q, P, D)
 
         hiddens = []
         for ith, decoder in enumerate(self.prior_decoders):
-            x = jnp.concatenate([prompt_embs[:, ith], output], axis=1)
-            # PreEncoding: segment + quantizer-id embeddings.
-            seg = jnp.concatenate(
-                [
-                    jnp.broadcast_to(self.prompt_seg_emb, (b, p, self.dec_hidden)),
-                    jnp.broadcast_to(self.target_seg_emb, (b, l, self.dec_hidden)),
-                ],
-                axis=1,
-            )
+            cat = jnp.concatenate([prompt_embs[:, ith], output], axis=1)
+            x = jnp.take_along_axis(cat, gather_idx[:, :, None], axis=1)
+            # PreEncoding segment + quantizer-id embeddings + positions.
             q_emb = self.quantizer_emb(jnp.full((1,), ith, dtype=jnp.int32))
-            x = x + seg + q_emb[None, :, :]
-            x = x + pos_enc
+            x = x + seg + q_emb[None, :, :] + pos_table[None, :, :]
             x = decoder(x, concat_mask, deterministic=deterministic)
-            output = x[:, p:, :]
+            output = jnp.take_along_axis(x, scatter_idx[:, :, None], axis=1)
+            output = apply_mask(output, tgt_mask)
             hiddens.append(output)
 
         hiddens_stacked = jnp.stack(hiddens, axis=1)  # (B, n_q, L, D)

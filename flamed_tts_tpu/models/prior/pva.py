@@ -64,17 +64,27 @@ class ProbabilisticModule(nn.Module):
         # (B_or_1, d) -> broadcast over the phoneme axis.
         out = out + t_emb[..., None, :]
 
+        def zero_pads(h):
+            # Padded positions carry noise/time-emb/LN-bias values; zeroing
+            # them before each conv makes the conv window at the true
+            # sequence boundary see zeros — exactly the zero padding the
+            # reference's exact-length run sees.  Keeps bucketed runs
+            # bit-equal to unpadded ones.
+            if pad_mask is None:
+                return h
+            return jnp.where(pad_mask[..., None], 0.0, h)
+
         k = self.kernel_size
         out = nn.Conv(
             self.filter_size, (k,), padding=[((k - 1) // 2,) * 2], name="conv1d_1"
-        )(out)
+        )(zero_pads(out))
         out = nn.relu(out)
         out = nn.LayerNorm(epsilon=1e-5, name="layer_norm_1")(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         # Reference uses literal padding=1 for the second conv (pva.py:209).
         out = nn.Conv(
             self.filter_size, (k,), padding=[(1, 1)], name="conv1d_2"
-        )(out)
+        )(zero_pads(out))
         out = nn.relu(out)
         out = nn.LayerNorm(epsilon=1e-5, name="layer_norm_2")(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
