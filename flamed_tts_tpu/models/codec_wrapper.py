@@ -1,0 +1,111 @@
+"""High-level FaCodec wrapper: prompt analysis and waveform synthesis.
+
+Bundles converted parameters with jitted, bucketed entry points.  The
+reference's codec calls (synthesize.py:108-125, flamed.py:137-140,214-215)
+map to ``encode_prompt`` and ``decode``.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flamed_tts_tpu.models.facodec.decoder import analyze, synthesize
+from flamed_tts_tpu.models.facodec.encoder import encoder_forward, encoder_hop_length
+from flamed_tts_tpu.ops.masking import mask_from_lengths
+from flamed_tts_tpu.runtime.buckets import DEFAULT_WAV_SECOND_BUCKETS, pick_bucket
+from flamed_tts_tpu.runtime.pytree_io import load_pytree_npz
+
+DEFAULT_CKPT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "checkpoints"
+)
+
+
+class FaCodec:
+    """Frozen codec: encoder + decoder params + jitted compute."""
+
+    def __init__(self, enc_params, dec_params, sr: int = 16000,
+                 up_ratios_enc=(2, 4, 5, 5), up_ratios_dec=(5, 5, 4, 2)):
+        self.enc_params = enc_params
+        self.dec_params = dec_params
+        self.sr = sr
+        self.up_ratios_enc = tuple(up_ratios_enc)
+        self.up_ratios_dec = tuple(up_ratios_dec)
+        self.hop = encoder_hop_length(self.up_ratios_enc)
+
+        self._encode = jax.jit(
+            partial(encoder_forward, up_ratios=self.up_ratios_enc)
+        )
+        self._analyze = jax.jit(analyze)
+        self._synthesize = jax.jit(
+            partial(synthesize, up_ratios=self.up_ratios_dec)
+        )
+
+    # --- construction ----------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, codec_cfg, ckpt_dir: Optional[str] = None) -> "FaCodec":
+        """Load converted .npz checkpoints per the codec config schema
+        (configs/codec.yaml)."""
+        ckpt_dir = ckpt_dir or DEFAULT_CKPT_DIR
+        enc_path = os.path.join(ckpt_dir, codec_cfg["encoder"]["ckpt_filename"])
+        dec_path = os.path.join(ckpt_dir, codec_cfg["decoder"]["ckpt_filename"])
+        for path in (enc_path, dec_path):
+            if not os.path.isfile(path):
+                raise FileNotFoundError(
+                    f"Converted codec checkpoint not found: {path}. Convert the "
+                    "PyTorch release with tools/convert_torch_ckpt.py first."
+                )
+        return cls(
+            load_pytree_npz(enc_path),
+            load_pytree_npz(dec_path),
+            sr=codec_cfg.get("sr", 16000),
+            up_ratios_enc=codec_cfg["encoder"]["up_ratios"],
+            up_ratios_dec=codec_cfg["decoder"]["up_ratios"],
+        )
+
+    @classmethod
+    def random_init(cls, rng: jax.Array, codec_cfg=None) -> "FaCodec":
+        """Random-weight codec (for smoke tests / benches without the
+        pretrained release)."""
+        from flamed_tts_tpu.models.facodec.decoder import init_decoder_params
+        from flamed_tts_tpu.models.facodec.encoder import init_encoder_params
+
+        r1, r2 = jax.random.split(rng)
+        return cls(init_encoder_params(r1), init_decoder_params(r2))
+
+    # --- inference -------------------------------------------------------
+
+    def encode_prompt(self, wav: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Prompt wav (T,) float32 -> (codes (n_q, T'), timbre (256,)).
+
+        The wav is padded to a seconds-bucket so distinct prompt lengths
+        reuse compiled programs; codes beyond the true frame count are
+        sliced off (boundary effect limited to ~1 frame — see
+        models/facodec/encoder.py docstring).
+        """
+        wav = np.asarray(wav, dtype=np.float32).squeeze()
+        n = wav.shape[-1]
+        n_seconds = max(1, int(np.ceil(n / self.sr)))
+        bucket_s = pick_bucket(n_seconds, DEFAULT_WAV_SECOND_BUCKETS)
+        padded = np.zeros(bucket_s * self.sr, dtype=np.float32)
+        padded[: min(n, len(padded))] = wav[: len(padded)]
+
+        latents = self._encode(self.enc_params, jnp.asarray(padded)[None, :, None])
+        n_frames = n // self.hop
+        pad_mask = mask_from_lengths(
+            jnp.asarray([n_frames], dtype=jnp.int32), latents.shape[1]
+        )
+        codes, timbre = self._analyze(self.dec_params, latents, pad_mask)
+        codes = np.asarray(jax.device_get(codes))[:, 0, :n_frames]
+        timbre = np.asarray(jax.device_get(timbre))[0]
+        return codes, timbre
+
+    def decode(self, latents: jnp.ndarray, timbre: jnp.ndarray) -> jnp.ndarray:
+        """latents (B, T, 256) + timbre (B, 256) -> wav (B, T*hop_dec, 1)."""
+        return self._synthesize(self.dec_params, latents, timbre)

@@ -1,0 +1,262 @@
+"""Flamed: top-level model orchestration (reference flamed/models/flamed.py).
+
+Owns the prior and prob generators' modules + parameter pytrees and
+exposes the reference's public surface:
+
+* ``from_pretrained``  — converted .npz or a raw PyTorch checkpoint
+  (Lightning 'state_dict' or weights-only; converted on the fly)
+* ``sample``           — single utterance: text/phonemes x prompt wav or
+  precomputed (codes, timbre); returns {'wav', 'time'}
+* ``sample_batch``     — batched phonemes/prompts/timbres; returns
+  latents/prior outputs/wav + timing
+* ``compute_losses``   — training losses (in train/losses.py)
+
+All device compute is bucketed + jitted via runtime/sampler.py.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flamed_tts_tpu.models.codec_wrapper import FaCodec
+from flamed_tts_tpu.models.prior.prior_generator import PriorGenerator
+from flamed_tts_tpu.models.prob.prob_generator import ProbGenerator
+from flamed_tts_tpu.runtime.buckets import (
+    DEFAULT_FRAME_BUCKETS,
+    DEFAULT_PHONEME_BUCKETS,
+    DEFAULT_PROMPT_BUCKETS,
+    bucket_list,
+)
+from flamed_tts_tpu.runtime.pytree_io import load_pytree_npz, pytree_num_params
+from flamed_tts_tpu.runtime.sampler import BucketedSampler
+from flamed_tts_tpu.text.frontend import EnglishFrontend
+
+
+def _to_plain_dict(cfg) -> dict:
+    return cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
+
+
+class Flamed:
+    def __init__(self, cfg, params: Optional[dict] = None, rng: Optional[jax.Array] = None):
+        self.cfg = cfg
+        prior_cfg = _to_plain_dict(cfg["prior_generator"])
+        prob_cfg = _to_plain_dict(cfg["prob_generator"])
+        self.prior_module = PriorGenerator(config=prior_cfg)
+        self.prob_module = ProbGenerator(config=prob_cfg)
+        self.vocab_size = prior_cfg["codec"]["vocab_size"]
+        self.n_quantizers = prior_cfg["codec"]["n_quantizers"]
+
+        dataset_cfg = cfg.get("dataset_cfg") or {}
+        self.sampler = BucketedSampler(
+            self.prior_module,
+            self.prob_module,
+            phoneme_buckets=bucket_list(
+                dataset_cfg.get("phoneme_buckets"), DEFAULT_PHONEME_BUCKETS
+            ),
+            frame_buckets=bucket_list(
+                dataset_cfg.get("frame_buckets"), DEFAULT_FRAME_BUCKETS
+            ),
+            prompt_buckets=bucket_list(
+                dataset_cfg.get("prompt_buckets"), DEFAULT_PROMPT_BUCKETS
+            ),
+        )
+
+        if params is not None:
+            self.params = params
+        else:
+            self.params = self.init_params(rng if rng is not None else jax.random.PRNGKey(0))
+
+        self.frontend: Optional[EnglishFrontend] = None
+
+    # --- parameters ------------------------------------------------------
+
+    def init_params(self, rng: jax.Array) -> dict:
+        r1, r2 = jax.random.split(rng)
+        b, l, p, f = 1, 16, 8, 32
+        enc_hidden = _to_plain_dict(self.cfg["prior_generator"])["transformer"]["encoder_hidden"]
+        cond_dim = _to_plain_dict(self.cfg["prob_generator"])["cond_dim"]
+        spk_dim = _to_plain_dict(self.cfg["prob_generator"])["spk_dim"]
+        prior_params = self.prior_module.init(
+            r1,
+            jnp.zeros((b, l), jnp.int32),
+            jnp.zeros((b, l), bool),
+            jnp.zeros((b, f, enc_hidden)),
+            jnp.zeros((b, f), bool),
+            jnp.zeros((b, self.n_quantizers, p), jnp.int32),
+            jnp.full((b,), p, jnp.int32),
+            method="init_all",
+        )
+        prob_params = self.prob_module.init(
+            r2,
+            jnp.zeros((b, self.n_quantizers, f, cond_dim)),
+            jnp.zeros((b, spk_dim)),
+            jnp.zeros((b, f), bool),
+        )
+        return {"prior": prior_params, "prob": prob_params}
+
+    def num_params(self) -> int:
+        return pytree_num_params(self.params)
+
+    @classmethod
+    def from_pretrained(
+        cls, cfg, ckpt_path: str, weights_only: bool = True, **kwargs
+    ) -> "Flamed":
+        """Load a converted .npz checkpoint, or a PyTorch .ckpt/.pt/.bin
+        (converted on the fly; requires torch)."""
+        if ckpt_path.endswith(".npz"):
+            params = load_pytree_npz(ckpt_path)
+        else:
+            import torch  # local import: conversion-time dependency only
+
+            from tools.convert_torch_ckpt import convert_flamed_checkpoint
+
+            sd = torch.load(ckpt_path, map_location="cpu", weights_only=weights_only)
+            params = convert_flamed_checkpoint(sd)
+        model = cls(cfg, params=params, **kwargs)
+        return model
+
+    # --- inference -------------------------------------------------------
+
+    def _get_frontend(self, lexicon_path=None, cleaners=("english_cleaners",)):
+        if self.frontend is None:
+            self.frontend = EnglishFrontend(lexicon_path=lexicon_path, cleaners=cleaners)
+        return self.frontend
+
+    def sample(
+        self,
+        text: Optional[str] = None,
+        phonemes: Optional[np.ndarray] = None,
+        prompt_raw: Optional[Union[str, np.ndarray]] = None,
+        prompt_processed: Optional[np.ndarray] = None,
+        timbre: Optional[np.ndarray] = None,
+        sr: int = 16000,
+        codec: Optional[FaCodec] = None,
+        temp_durgen: float = 0.3,
+        temp_denoiser: float = 0.3,
+        nsteps_durgen: int = 64,
+        nsteps_denoiser: int = 64,
+        lexicon_path: Optional[str] = None,
+        cleaners: Sequence[str] = ("english_cleaners",),
+        rng: Optional[jax.Array] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Single-utterance zero-shot synthesis (reference flamed.py:89-166).
+
+        Exactly one of (text, phonemes) and one of
+        (prompt_raw, prompt_processed+timbre) must be given.
+        """
+        if (text is None) == (phonemes is None):
+            raise ValueError(
+                "`text` and `phonemes` are mutually exclusive—only one should "
+                "be provided, and the other must be None!"
+            )
+        if (prompt_raw is None) == (prompt_processed is None):
+            raise ValueError(
+                "`prompt_raw` and `prompt_processed` are mutually exclusive—"
+                "only one should be provided, and the other must be None!"
+            )
+
+        start_time = time.time()
+
+        if text is not None:
+            ids, _, _ = self._get_frontend(lexicon_path, cleaners)(text)
+        else:
+            ids = np.asarray(phonemes, dtype=np.int32)
+            if ids.ndim == 1:
+                ids = ids[None, :]
+
+        if prompt_raw is not None:
+            if codec is None:
+                raise ValueError("`codec` must be provided with `prompt_raw`")
+            if isinstance(prompt_raw, str):
+                from flamed_tts_tpu.utils.audio import load_wav
+
+                prompt_raw = load_wav(prompt_raw, sr=sr)
+            codes, timbre_vec = codec.encode_prompt(np.asarray(prompt_raw))
+            prompts = codes[None, :, :]
+            timbres = timbre_vec[None, :]
+        else:
+            if timbre is None:
+                raise ValueError("`timbre` must be provided along with `prompt_processed`!")
+            prompts = np.asarray(prompt_processed, dtype=np.int32)
+            if prompts.ndim == 2:
+                prompts = prompts[None, :, :]
+            timbres = np.asarray(timbre, dtype=np.float32)
+            if timbres.ndim == 1:
+                timbres = timbres[None, :]
+
+        outputs = self.sample_batch(
+            phonemes=ids,
+            src_lens=np.full((ids.shape[0],), ids.shape[-1], dtype=np.int32),
+            prompts=prompts,
+            prompt_lens=np.full((prompts.shape[0],), prompts.shape[-1], dtype=np.int32),
+            timbres=timbres,
+            codec=codec,
+            temp_durgen=temp_durgen,
+            temp_denoiser=temp_denoiser,
+            nsteps_durgen=nsteps_durgen,
+            nsteps_denoiser=nsteps_denoiser,
+            rng=rng,
+        )
+
+        result = {"time": time.time() - start_time}
+        if "wav" in outputs:
+            n = int(outputs["tgt_len"][0]) * (codec.hop if codec else 200)
+            result["wav"] = np.asarray(outputs["wav"])[0, :n, 0]
+        result.update({k: outputs[k] for k in ("latents", "tgt_len") if k in outputs})
+        return result
+
+    def sample_batch(
+        self,
+        phonemes: np.ndarray,
+        src_lens: np.ndarray,
+        prompts: np.ndarray,
+        timbres: np.ndarray,
+        prompt_lens: Optional[np.ndarray] = None,
+        codec: Optional[FaCodec] = None,
+        temp_durgen: float = 0.3,
+        temp_denoiser: float = 0.3,
+        nsteps_durgen: int = 64,
+        nsteps_denoiser: int = 64,
+        rng: Optional[jax.Array] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Batched sampling (reference flamed.py:168-217)."""
+        start_time = time.time()
+        if rng is None:
+            rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+        if prompt_lens is None:
+            prompt_lens = np.full((prompts.shape[0],), prompts.shape[-1], dtype=np.int32)
+
+        out = self.sampler.sample(
+            self.params["prior"],
+            self.params["prob"],
+            np.asarray(phonemes),
+            np.asarray(src_lens),
+            np.asarray(prompts),
+            np.asarray(prompt_lens),
+            np.asarray(timbres, dtype=np.float32),
+            rng,
+            nsteps_durgen=nsteps_durgen,
+            nsteps_denoiser=nsteps_denoiser,
+            temp_durgen=temp_durgen,
+            temp_denoiser=temp_denoiser,
+            vocab_pad=self.vocab_size,
+        )
+        outputs: Dict[str, np.ndarray] = {
+            "prior_embs": out["prior_embs"],
+            "prior_logits": out["prior_logits"],
+            "tgt_mask": np.asarray(jax.device_get(out["tgt_mask"])),
+            "tgt_len": np.asarray(jax.device_get(out["tgt_len"])),
+            "latents": out["latents"],
+        }
+        if codec is not None:
+            wav = codec.decode(out["latents"], jnp.asarray(timbres, dtype=jnp.float32))
+            outputs["wav"] = np.asarray(jax.device_get(wav))
+        else:
+            jax.block_until_ready(out["latents"])
+        outputs["time"] = time.time() - start_time
+        return outputs

@@ -1,0 +1,173 @@
+"""Bucketed, jit-cached sampling executor.
+
+The target frame count is *sampled at runtime* by the duration model
+(reference pva.py:111-116), so a single static program can't cover the
+whole pipeline without always paying worst-case length.  Sampling is
+therefore split into two jitted stages:
+
+  stage 1 (static in phoneme bucket L):
+      encode + PVA Euler loop -> integer durations, tgt_len
+  stage 2 (static in L, frame bucket F, prompt bucket P):
+      length-regulate -> per-quantizer decode -> denoiser Euler -> latents
+
+The host reads tgt_len between stages (one small D2H transfer) and picks
+the tightest frame bucket — so short utterances never pay for the 17 s
+worst case.  Each (bucket signature, nfe, temperature) compiles once and
+is cached on the jit cache for the life of the process.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flamed_tts_tpu.models.prior.sampling import durations_from_flow, pva_sample
+from flamed_tts_tpu.models.prob.prob_generator import prob_sample
+from flamed_tts_tpu.ops.length_regulator import length_regulate
+from flamed_tts_tpu.ops.masking import mask_from_lengths
+from flamed_tts_tpu.runtime.buckets import pick_bucket
+
+
+class BucketedSampler:
+    """Owns the jitted stage functions for (prior, prob) module pair."""
+
+    def __init__(
+        self,
+        prior_module,
+        prob_module,
+        phoneme_buckets: Sequence[int],
+        frame_buckets: Sequence[int],
+        prompt_buckets: Sequence[int],
+    ):
+        self.prior = prior_module
+        self.prob = prob_module
+        self.phoneme_buckets = list(phoneme_buckets)
+        self.frame_buckets = list(frame_buckets)
+        self.prompt_buckets = list(prompt_buckets)
+
+        # nfe/temperature are static in the jitted signatures; bucket
+        # shapes vary via the input shapes themselves.
+        self._stage1 = jax.jit(self._stage1_impl, static_argnums=(4,))
+        self._stage2 = jax.jit(self._stage2_impl, static_argnums=(8, 9))
+
+    # --- stage 1: encode + duration/silence flow ------------------------
+
+    def _stage1_impl(self, prior_params, phonemes, src_lens, rng, nfe, temperature):
+        src_mask = mask_from_lengths(src_lens, phonemes.shape[1])
+        enc_out = self.prior.apply(prior_params, phonemes, src_mask, method="encode")
+        phone_dur, sil_dur = pva_sample(
+            self.prior, prior_params, enc_out, src_mask, rng, nfe, temperature
+        )
+        valid = (~src_mask)
+        tgt_len = (
+            jnp.sum(jnp.maximum(phone_dur, 1.0) * valid, axis=1)
+            + jnp.sum(sil_dur * valid, axis=1)
+        ).astype(jnp.int32)
+        return enc_out, phone_dur, sil_dur, tgt_len
+
+    # --- stage 2: LR + decode + denoise ---------------------------------
+
+    def _stage2_impl(
+        self,
+        prior_params,
+        prob_params,
+        enc_out,
+        phone_dur,
+        sil_dur,
+        src_lens,
+        prompts,
+        prompt_lens,
+        max_frames,   # static
+        nfe,          # static
+        timbres,
+        rng,
+        temperature,
+    ):
+        lr_out, tgt_len = length_regulate(
+            enc_out, phone_dur, sil_dur, src_lens, max_frames
+        )
+        tgt_mask = mask_from_lengths(tgt_len, max_frames)
+        hiddens, logits = self.prior.apply(
+            prior_params, lr_out, tgt_mask, prompts, prompt_lens, method="decode"
+        )
+        latents = prob_sample(
+            self.prob, prob_params, hiddens, timbres, tgt_mask, rng, nfe, temperature
+        )
+        return latents, hiddens, logits, tgt_len, tgt_mask
+
+    # --- public API ------------------------------------------------------
+
+    def sample(
+        self,
+        prior_params,
+        prob_params,
+        phonemes: np.ndarray,     # (B, Lany) int
+        src_lens: np.ndarray,     # (B,)
+        prompts: np.ndarray,      # (B, n_q, Pany) int
+        prompt_lens: np.ndarray,  # (B,)
+        timbres: np.ndarray,      # (B, spk_dim)
+        rng: jax.Array,
+        nsteps_durgen: int = 64,
+        nsteps_denoiser: int = 64,
+        temp_durgen: float = 0.3,
+        temp_denoiser: float = 0.3,
+        vocab_pad: int = 1024,
+    ) -> Dict[str, jnp.ndarray]:
+        b, l_in = phonemes.shape
+        l_bucket = pick_bucket(l_in, self.phoneme_buckets)
+        phonemes_b = np.zeros((b, l_bucket), dtype=np.int32)
+        phonemes_b[:, : min(l_in, l_bucket)] = phonemes[:, :l_bucket]
+        src_lens = np.minimum(np.asarray(src_lens, dtype=np.int32), l_bucket)
+
+        p_in = prompts.shape[-1]
+        p_bucket = pick_bucket(p_in, self.prompt_buckets)
+        prompts_b = np.full((b, prompts.shape[1], p_bucket), vocab_pad, dtype=np.int32)
+        prompts_b[:, :, : min(p_in, p_bucket)] = prompts[:, :, :p_bucket]
+        prompt_lens = np.minimum(np.asarray(prompt_lens, dtype=np.int32), p_bucket)
+
+        rng1, rng2 = jax.random.split(rng)
+        enc_out, phone_dur, sil_dur, tgt_len_est = self._stage1(
+            prior_params,
+            jnp.asarray(phonemes_b),
+            jnp.asarray(src_lens),
+            rng1,
+            nsteps_durgen,
+            jnp.float32(temp_durgen),
+        )
+        max_needed = int(jax.device_get(tgt_len_est).max())
+        f_bucket = pick_bucket(max_needed, self.frame_buckets)
+
+        latents, hiddens, logits, tgt_len, tgt_mask = self._stage2(
+            prior_params,
+            prob_params,
+            enc_out,
+            phone_dur,
+            sil_dur,
+            jnp.asarray(src_lens),
+            jnp.asarray(prompts_b),
+            jnp.asarray(prompt_lens),
+            f_bucket,
+            nsteps_denoiser,
+            jnp.asarray(timbres),
+            rng2,
+            jnp.float32(temp_denoiser),
+        )
+        return {
+            "latents": latents,          # (B, F, 256) channel-last
+            "prior_embs": hiddens,       # (B, n_q, F, D)
+            "prior_logits": logits,
+            "tgt_len": tgt_len,
+            "tgt_mask": tgt_mask,
+            "frame_bucket": f_bucket,
+        }
+
+
+def warmup_buckets(sampler: BucketedSampler, *args, **kwargs) -> None:
+    """Optionally pre-compile the common bucket signatures (not required;
+    first use compiles lazily)."""
+    # Intentionally minimal for now; compilation happens on demand.
+    return None

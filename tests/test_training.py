@@ -1,0 +1,161 @@
+"""Training path: losses, pjit train step on an 8-device mesh, and a
+short overfit run on a tiny config."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.parity_utils import SMALL_PRIOR_CFG, SMALL_PROB_CFG
+
+from flamed_tts_tpu.models.prior.prior_generator import PriorGenerator
+from flamed_tts_tpu.models.prob.prob_generator import ProbGenerator
+from flamed_tts_tpu.parallel.mesh import make_mesh
+from flamed_tts_tpu.train.losses import compute_losses
+from flamed_tts_tpu.train.step import (
+    init_train_state,
+    jit_train_step_on_mesh,
+    make_optimizer,
+    make_train_step,
+    shard_batch,
+    warmup_cosine_schedule,
+)
+
+OPT_CFG = {
+    "lr": 1e-3, "betas": [0.9, 0.98], "eps": 1e-9,
+    "weight_decay": 1e-4, "warmup_steps": 2, "max_steps": 100,
+}
+
+
+def tiny_modules():
+    prior = PriorGenerator(config=SMALL_PRIOR_CFG)
+    prob = ProbGenerator(config=SMALL_PROB_CFG)
+    return prior, prob
+
+
+def tiny_params(prior, prob, rng):
+    b, l, p, f = 2, 8, 4, 16
+    n_q = SMALL_PRIOR_CFG["codec"]["n_quantizers"]
+    enc_h = SMALL_PRIOR_CFG["transformer"]["encoder_hidden"]
+    r1, r2 = jax.random.split(rng)
+    prior_params = prior.init(
+        r1,
+        jnp.zeros((b, l), jnp.int32), jnp.zeros((b, l), bool),
+        jnp.zeros((b, f, enc_h)), jnp.zeros((b, f), bool),
+        jnp.zeros((b, n_q, p), jnp.int32), jnp.full((b,), p, jnp.int32),
+        method="init_all",
+    )
+    prob_params = prob.init(
+        r2,
+        jnp.zeros((b, n_q, f, SMALL_PROB_CFG["cond_dim"])),
+        jnp.zeros((b, SMALL_PROB_CFG["spk_dim"])),
+        jnp.zeros((b, f), bool),
+    )
+    return {"prior": prior_params, "prob": prob_params}
+
+
+def tiny_batch(b=8, l=8, seed=0):
+    rng = np.random.RandomState(seed)
+    n_q = SMALL_PRIOR_CFG["codec"]["n_quantizers"]
+    vocab = SMALL_PRIOR_CFG["codec"]["vocab_size"]
+    phone_dur = rng.randint(1, 3, (b, l)).astype(np.int32)
+    sil_dur = rng.randint(0, 2, (b, l)).astype(np.int32)
+    y_len = (phone_dur.sum(1) + sil_dur.sum(1)).astype(np.int32)
+    lf = int(y_len.max())
+    return {
+        "phonemes": rng.randint(1, 300, (b, l)).astype(np.int32),
+        "x_len": np.full((b,), l, np.int32),
+        "codes": rng.randint(0, vocab, (b, n_q, lf)).astype(np.int32),
+        "y_len": y_len,
+        "phone_dur": phone_dur,
+        "sil_dur": sil_dur,
+        "embs": rng.randn(b, lf, SMALL_PROB_CFG["target_dim"]).astype(np.float32),
+        "prompts": rng.randint(0, vocab, (b, n_q, 4)).astype(np.int32),
+        "spks": rng.randn(b, SMALL_PROB_CFG["spk_dim"]).astype(np.float32),
+    }
+
+
+def test_losses_finite_and_complete():
+    prior, prob = tiny_modules()
+    params = tiny_params(prior, prob, jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch().items()}
+    losses = compute_losses(prior, prob, params, batch, jax.random.PRNGKey(1))
+    expected = {"dur_loss", "sil_loss", "prior_loss", "fm_loss", "anchor_loss", "total_loss"}
+    assert expected <= set(losses)
+    for key in expected:
+        assert np.isfinite(float(losses[key])), key
+
+
+def test_schedule():
+    sched = warmup_cosine_schedule(1e-3, 10, 100)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(10)) - 1e-3) < 1e-9
+    assert float(sched(100)) < 1e-5
+    assert float(sched(5)) == pytest.approx(5e-4)
+
+
+def test_train_step_on_mesh_dp_tp():
+    """Full train step on a 4x2 (data x model) virtual mesh."""
+    assert len(jax.devices()) == 8
+    prior, prob = tiny_modules()
+    params = tiny_params(prior, prob, jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(OPT_CFG)
+    step_fn = make_train_step(prior, prob, tx)
+    state = init_train_state(params, tx)
+    mesh = make_mesh(n_data=4, n_model=2)
+    with mesh:
+        jitted, state = jit_train_step_on_mesh(step_fn, state, mesh)
+        batch = shard_batch(tiny_batch(b=8), mesh)
+        state, metrics = jitted(state, batch, jax.random.PRNGKey(2))
+        state, metrics = jitted(state, batch, jax.random.PRNGKey(3))
+    assert int(jax.device_get(state.step)) == 2
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_loss_decreases_when_overfitting():
+    """A few steps on one fixed batch must reduce the total loss."""
+    prior, prob = tiny_modules()
+    params = tiny_params(prior, prob, jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(OPT_CFG)
+    step_fn = jax.jit(make_train_step(prior, prob, tx), donate_argnums=(0,))
+    state = init_train_state(params, tx)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(b=4).items()}
+
+    first = None
+    rng = jax.random.PRNGKey(5)
+    for i in range(30):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(5))  # fixed noise
+        if first is None:
+            first = float(metrics["total_loss"])
+    last = float(metrics["total_loss"])
+    assert last < first, (first, last)
+
+
+def test_dp_equals_single_device():
+    """The mesh-sharded step must produce the same loss as an unsharded
+    run of the same step (same rng, same batch)."""
+    prior, prob = tiny_modules()
+    params = tiny_params(prior, prob, jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(OPT_CFG)
+    step_fn = make_train_step(prior, prob, tx)
+    batch_np = tiny_batch(b=8)
+    rng = jax.random.PRNGKey(7)
+
+    state1 = init_train_state(params, tx)
+    _, metrics_single = jax.jit(step_fn)(
+        state1, {k: jnp.asarray(v) for k, v in batch_np.items()}, rng
+    )
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    state2 = init_train_state(params, tx)
+    with mesh:
+        jitted, state2 = jit_train_step_on_mesh(step_fn, state2, mesh)
+        _, metrics_mesh = jitted(state2, shard_batch(batch_np, mesh), rng)
+
+    np.testing.assert_allclose(
+        float(metrics_single["total_loss"]),
+        float(metrics_mesh["total_loss"]),
+        rtol=1e-4,
+    )
