@@ -39,6 +39,10 @@ TEXT = (
 def main() -> None:
     import jax
 
+    from flamed_tts_tpu.runtime.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     precision = os.environ.get("BENCH_PRECISION", "bf16")
     if precision == "fp32":
         jax.config.update("jax_default_matmul_precision", "highest")

@@ -93,6 +93,9 @@ def _validate_args(args: argparse.Namespace) -> None:
 
 def _setup_jax(device: str, precision: str) -> None:
     import jax
+    from flamed_tts_tpu.runtime.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     if device == "cpu":
         jax.config.update("jax_platforms", "cpu")
