@@ -45,6 +45,11 @@ synth-meta:
 		--temp-durgen $(TEMP_DURGEN) --temp-denoiser $(TEMP_DENOISER)
 
 eval:
+	$(PYTHON) tools/evaluate.py --synth-dir $(OUTPUT_DIR)/nfe$(NSTEPS_DENOISER)-temp$(TEMP_DENOISER) \
+		--metadata-file $(METADATA) --prompt-dir $(PROMPT_DIR) \
+		$(if $(REF_DIR),--ref-dir $(REF_DIR),) --codec-dir $(CODEC_DIR)
+
+pytest:
 	$(PYTHON) -m pytest tests/ -q
 
 avg:

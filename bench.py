@@ -56,6 +56,8 @@ def main() -> None:
     cfg = load_default_config()
     model = Flamed(cfg, rng=jax.random.PRNGKey(0))
     codec = FaCodec.random_init(jax.random.PRNGKey(1))
+    if precision == "bf16":
+        model.cast_inference_params()
 
     # 3 s prompt at 16 kHz
     t_axis = np.arange(3 * 16000) / 16000.0
@@ -91,19 +93,22 @@ def main() -> None:
     audio_seconds = n_frames / 80.0
 
     def run(seed: int):
+        # Includes prompt analysis, matching the span the reference's
+        # sample() times (flamed.py:127-161).
+        codes_i, timbre_i = codec.encode_prompt(prompt)
         rng = jax.random.PRNGKey(seed)
         r1, r2 = jax.random.split(rng)
         enc_out, _, _, _ = sampler._stage1(
             model.params["prior"], jnp.asarray(phonemes), src_lens, r1,
             NSTEPS_DURGEN, jnp.float32(0.3),
         )
-        latents, _, _, tgt_len, _ = sampler._stage2(
+        _, _, _, tgt_len, _, wav = sampler._stage2(
             model.params["prior"], model.params["prob"], enc_out,
             jnp.asarray(phone_dur), jnp.asarray(sil_dur), src_lens,
             jnp.asarray(prompts), prompt_lens, f_bucket, NSTEPS_DENOISER,
-            jnp.asarray(timbre[None, :]), r2, jnp.float32(0.3),
+            jnp.asarray(timbre_i[None, :]), r2, jnp.float32(0.3),
+            codec.dec_params, True,
         )
-        wav = codec.decode(latents, jnp.asarray(timbre[None, :]))
         return np.asarray(jax.device_get(wav))[0, : n_frames * 200, 0]
 
     warm = run(0)  # compile

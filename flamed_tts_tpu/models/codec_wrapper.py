@@ -38,10 +38,14 @@ class FaCodec:
         self.up_ratios_dec = tuple(up_ratios_dec)
         self.hop = encoder_hop_length(self.up_ratios_enc)
 
-        self._encode = jax.jit(
-            partial(encoder_forward, up_ratios=self.up_ratios_enc)
-        )
-        self._analyze = jax.jit(analyze)
+        # One jitted program per stage pair: encode+analyze fused (each
+        # separate device call costs ~25 ms dispatch through the TPU
+        # tunnel, comparable to the compute itself).
+        def _encode_analyze(enc_params, dec_params, wav, pad_mask):
+            latents = encoder_forward(enc_params, wav, up_ratios=self.up_ratios_enc)
+            return analyze(dec_params, latents, pad_mask)
+
+        self._encode_analyze = jax.jit(_encode_analyze)
         self._synthesize = jax.jit(
             partial(synthesize, up_ratios=self.up_ratios_dec)
         )
@@ -96,12 +100,14 @@ class FaCodec:
         padded = np.zeros(bucket_s * self.sr, dtype=np.float32)
         padded[: min(n, len(padded))] = wav[: len(padded)]
 
-        latents = self._encode(self.enc_params, jnp.asarray(padded)[None, :, None])
         n_frames = n // self.hop
         pad_mask = mask_from_lengths(
-            jnp.asarray([n_frames], dtype=jnp.int32), latents.shape[1]
+            jnp.asarray([n_frames], dtype=jnp.int32), len(padded) // self.hop
         )
-        codes, timbre = self._analyze(self.dec_params, latents, pad_mask)
+        codes, timbre = self._encode_analyze(
+            self.enc_params, self.dec_params,
+            jnp.asarray(padded)[None, :, None], pad_mask,
+        )
         codes = np.asarray(jax.device_get(codes))[:, 0, :n_frames]
         timbre = np.asarray(jax.device_get(timbre))[0]
         return codes, timbre

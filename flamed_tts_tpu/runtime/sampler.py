@@ -50,9 +50,11 @@ class BucketedSampler:
         self.prompt_buckets = list(prompt_buckets)
 
         # nfe/temperature are static in the jitted signatures; bucket
-        # shapes vary via the input shapes themselves.
+        # shapes vary via the input shapes themselves.  Codec decode is
+        # fused into stage 2 (decode_audio static flag) — every separate
+        # device call pays ~25 ms of dispatch through the TPU tunnel.
         self._stage1 = jax.jit(self._stage1_impl, static_argnums=(4,))
-        self._stage2 = jax.jit(self._stage2_impl, static_argnums=(8, 9))
+        self._stage2 = jax.jit(self._stage2_impl, static_argnums=(8, 9, 14))
 
     # --- stage 1: encode + duration/silence flow ------------------------
 
@@ -86,6 +88,8 @@ class BucketedSampler:
         timbres,
         rng,
         temperature,
+        dec_params=None,
+        decode_audio=False,  # static
     ):
         lr_out, tgt_len = length_regulate(
             enc_out, phone_dur, sil_dur, src_lens, max_frames
@@ -97,7 +101,12 @@ class BucketedSampler:
         latents = prob_sample(
             self.prob, prob_params, hiddens, timbres, tgt_mask, rng, nfe, temperature
         )
-        return latents, hiddens, logits, tgt_len, tgt_mask
+        wav = None
+        if decode_audio:
+            from flamed_tts_tpu.models.facodec.decoder import synthesize
+
+            wav = synthesize(dec_params, latents, timbres)
+        return latents, hiddens, logits, tgt_len, tgt_mask, wav
 
     # --- public API ------------------------------------------------------
 
@@ -116,7 +125,28 @@ class BucketedSampler:
         temp_durgen: float = 0.3,
         temp_denoiser: float = 0.3,
         vocab_pad: int = 1024,
+        mesh=None,
+        dec_params=None,
     ) -> Dict[str, jnp.ndarray]:
+        """Bucketed sampling; with ``mesh`` given, the utterance batch is
+        sharded over the mesh's 'data' axis (throughput mode: the batch
+        is padded with repeats of row 0 up to a multiple of the axis size,
+        and the padding rows are sliced off the outputs)."""
+        b_real = phonemes.shape[0]
+        pad_rows = 0
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            pad_rows = (-b_real) % n_data
+            if pad_rows:
+                def pad_b(a):
+                    reps = np.repeat(a[:1], pad_rows, axis=0)
+                    return np.concatenate([a, reps], axis=0)
+
+                phonemes = pad_b(np.asarray(phonemes))
+                src_lens = pad_b(np.asarray(src_lens))
+                prompts = pad_b(np.asarray(prompts))
+                prompt_lens = pad_b(np.asarray(prompt_lens))
+                timbres = pad_b(np.asarray(timbres))
         b, l_in = phonemes.shape
         l_bucket = pick_bucket(l_in, self.phoneme_buckets)
         phonemes_b = np.zeros((b, l_bucket), dtype=np.int32)
@@ -129,11 +159,23 @@ class BucketedSampler:
         prompts_b[:, :, : min(p_in, p_bucket)] = prompts[:, :, :p_bucket]
         prompt_lens = np.minimum(np.asarray(prompt_lens, dtype=np.int32), p_bucket)
 
+        def place(x, batch_axis=True):
+            x = jnp.asarray(x)
+            if mesh is None:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = P("data") if batch_axis and x.ndim > 0 else P()
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        phonemes_j = place(phonemes_b)
+        src_lens_j = place(src_lens)
+
         rng1, rng2 = jax.random.split(rng)
         enc_out, phone_dur, sil_dur, tgt_len_est = self._stage1(
             prior_params,
-            jnp.asarray(phonemes_b),
-            jnp.asarray(src_lens),
+            phonemes_j,
+            src_lens_j,
             rng1,
             nsteps_durgen,
             jnp.float32(temp_durgen),
@@ -141,22 +183,24 @@ class BucketedSampler:
         max_needed = int(jax.device_get(tgt_len_est).max())
         f_bucket = pick_bucket(max_needed, self.frame_buckets)
 
-        latents, hiddens, logits, tgt_len, tgt_mask = self._stage2(
+        latents, hiddens, logits, tgt_len, tgt_mask, wav = self._stage2(
             prior_params,
             prob_params,
             enc_out,
             phone_dur,
             sil_dur,
-            jnp.asarray(src_lens),
-            jnp.asarray(prompts_b),
-            jnp.asarray(prompt_lens),
+            src_lens_j,
+            place(prompts_b),
+            place(prompt_lens),
             f_bucket,
             nsteps_denoiser,
-            jnp.asarray(timbres),
+            place(np.asarray(timbres, dtype=np.float32)),
             rng2,
             jnp.float32(temp_denoiser),
+            dec_params,
+            dec_params is not None,
         )
-        return {
+        out = {
             "latents": latents,          # (B, F, 256) channel-last
             "prior_embs": hiddens,       # (B, n_q, F, D)
             "prior_logits": logits,
@@ -164,6 +208,14 @@ class BucketedSampler:
             "tgt_mask": tgt_mask,
             "frame_bucket": f_bucket,
         }
+        if wav is not None:
+            out["wav"] = wav
+        if pad_rows:
+            out = {
+                k: (v[:b_real] if hasattr(v, "ndim") and v.ndim > 0 else v)
+                for k, v in out.items()
+            }
+        return out
 
 
 def warmup_buckets(sampler: BucketedSampler, *args, **kwargs) -> None:

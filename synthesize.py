@@ -307,6 +307,8 @@ def main(args: Optional[argparse.Namespace] = None) -> Optional[float]:
     cfg = load_config(args.cfg_path)
     codec = get_codec(cfg, args.codec_dir)
     model = prepare_model(cfg, args.ckpt_path, args.weights_only)
+    if args.precision == "bf16":
+        model.cast_inference_params()
 
     if args.metadata_file:
         rtf = synthesize_with_metadata(model, codec, args)

@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Objective evaluation harness for synthesized audio.
+
+The reference's Makefile `eval` target is an explicit placeholder
+(reference Makefile:103-104); this tool implements the evaluation loop
+the paper-style metrics need:
+
+* **speaker similarity** — cosine similarity between the FaCodec timbre
+  embeddings of the prompt and the synthesized wav (self-contained: the
+  codec's own speaker encoder is the embedder);
+* **log-mel L2 / MCD-style distance** — between synthesized audio and an
+  optional ground-truth wav;
+* **duration statistics** — synthesized seconds per utterance;
+* **WER** — pluggable: pass --asr-cmd, a shell command that reads a wav
+  path and prints a transcript (no ASR model ships in this environment).
+
+Usage:
+  python tools/evaluate.py --synth-dir out/nfe64-temp0.3 \
+      --metadata-file meta.txt --prompt-dir prompts/ [--ref-dir refs/]
+Prints one JSON report to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+from typing import Dict, List, Optional
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def _levenshtein(a: List[str], b: List[str]) -> int:
+    prev = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        cur = [i]
+        for j, y in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (x != y)))
+        prev = cur
+    return prev[-1]
+
+
+def word_error_rate(ref: str, hyp: str) -> float:
+    ref_words = ref.lower().split()
+    hyp_words = hyp.lower().split()
+    if not ref_words:
+        return 0.0
+    return _levenshtein(ref_words, hyp_words) / len(ref_words)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--synth-dir", required=True)
+    parser.add_argument("--metadata-file", required=True,
+                        help="Lines target|prompt|text (the synthesis input).")
+    parser.add_argument("--prompt-dir", required=True)
+    parser.add_argument("--ref-dir", default=None,
+                        help="Ground-truth wavs named like targets (for mel distance).")
+    parser.add_argument("--codec-dir", default=None,
+                        help="Converted codec .npz dir ('random' for random init).")
+    parser.add_argument("--asr-cmd", default=None,
+                        help="Shell command template '{wav}' -> transcript on stdout.")
+    parser.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
+    args = parser.parse_args()
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from flamed_tts_tpu.config import load_default_config
+    from flamed_tts_tpu.models.codec_wrapper import FaCodec
+    from flamed_tts_tpu.ops.melspec import mel_spectrogram
+    from flamed_tts_tpu.utils.audio import load_wav
+
+    import jax.numpy as jnp
+
+    cfg = load_default_config()
+    if args.codec_dir == "random":
+        codec = FaCodec.random_init(jax.random.PRNGKey(0))
+    else:
+        codec = FaCodec.from_pretrained(cfg["codec_cfg"], ckpt_dir=args.codec_dir)
+
+    entries = []
+    with open(args.metadata_file, encoding="utf-8") as fin:
+        for line in fin:
+            line = line.strip()
+            if not line or line.count("|") < 2:
+                continue
+            target, prompt, text = line.split("|", 2)
+            entries.append((target, prompt, text))
+
+    sims, mel_l2s, wers, durations = [], [], [], []
+    n_missing = 0
+    for target, prompt, text in entries:
+        synth_path = os.path.join(args.synth_dir, target)
+        if not os.path.isfile(synth_path):
+            n_missing += 1
+            continue
+        synth = load_wav(synth_path)
+        durations.append(len(synth) / 16000.0)
+
+        prompt_path = prompt if os.path.isabs(prompt) else os.path.join(args.prompt_dir, prompt)
+        if os.path.isfile(prompt_path):
+            _, t_prompt = codec.encode_prompt(load_wav(prompt_path))
+            _, t_synth = codec.encode_prompt(synth)
+            cos = float(
+                np.dot(t_prompt, t_synth)
+                / max(np.linalg.norm(t_prompt) * np.linalg.norm(t_synth), 1e-9)
+            )
+            sims.append(cos)
+
+        if args.ref_dir:
+            ref_path = os.path.join(args.ref_dir, target)
+            if os.path.isfile(ref_path):
+                ref = load_wav(ref_path)
+                n = min(len(ref), len(synth))
+                mel_a = np.asarray(mel_spectrogram(jnp.asarray(synth[None, :n])))
+                mel_b = np.asarray(mel_spectrogram(jnp.asarray(ref[None, :n])))
+                mel_l2s.append(float(np.sqrt(((mel_a - mel_b) ** 2).mean())))
+
+        if args.asr_cmd:
+            hyp = subprocess.run(
+                args.asr_cmd.format(wav=synth_path), shell=True,
+                capture_output=True, text=True,
+            ).stdout.strip()
+            wers.append(word_error_rate(text, hyp))
+
+    report: Dict = {
+        "n_evaluated": len(durations),
+        "n_missing": n_missing,
+        "avg_duration_sec": round(float(np.mean(durations)), 3) if durations else None,
+        "speaker_similarity": round(float(np.mean(sims)), 4) if sims else None,
+        "mel_l2": round(float(np.mean(mel_l2s)), 4) if mel_l2s else None,
+        "wer": round(float(np.mean(wers)), 4) if wers else None,
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
