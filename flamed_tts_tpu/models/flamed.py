@@ -179,6 +179,8 @@ class Flamed:
                 "`prompt_raw` and `prompt_processed` are mutually exclusive—"
                 "only one should be provided, and the other must be None!"
             )
+        if prompt_processed is not None and timbre is None:
+            raise ValueError("`timbre` must be provided along with `prompt_processed`!")
 
         start_time = time.time()
 

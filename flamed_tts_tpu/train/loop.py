@@ -88,6 +88,7 @@ def run_training(
     logger: Optional[MetricLogger] = None,
     ckpt: Optional[CheckpointManager] = None,
     eval_step=None,
+    audio_logger=None,
 ) -> TrainState:
     step = int(jax.device_get(state.step))
     t_last = time.time()
@@ -118,6 +119,11 @@ def run_training(
                     ckpt.save_topk(state, val_loss, step)
             if ckpt is not None:
                 ckpt.save_last(state)
+            if audio_logger is not None:
+                try:
+                    audio_logger(state, step)
+                except Exception as exc:  # audio logging must never kill a run
+                    print(f"[train] validation audio logging failed: {exc}")
     if ckpt is not None:
         ckpt.save_last(state)
     return state

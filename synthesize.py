@@ -69,6 +69,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="Matmul precision on TPU (fp32 = parity, bf16 = speed).")
     parser.add_argument("--seed", type=int, default=None, help="Sampling PRNG seed.")
     parser.add_argument("--lexicon-path", type=str, default=None)
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="Write a jax.profiler trace of the run to this directory.")
     return parser
 
 
@@ -310,10 +312,13 @@ def main(args: Optional[argparse.Namespace] = None) -> Optional[float]:
     if args.precision == "bf16":
         model.cast_inference_params()
 
-    if args.metadata_file:
-        rtf = synthesize_with_metadata(model, codec, args)
-    else:
-        rtf = synthesize_with_prompts(model, codec, args)
+    from flamed_tts_tpu.utils.profiling import trace
+
+    with trace(args.profile_dir):
+        if args.metadata_file:
+            rtf = synthesize_with_metadata(model, codec, args)
+        else:
+            rtf = synthesize_with_prompts(model, codec, args)
 
     if rtf is not None:
         print("=" * 20, "Avg RTF", "=" * 20)

@@ -33,6 +33,9 @@ def main() -> None:
     parser.add_argument("--val-every", type=int, default=1000)
     parser.add_argument("--log-every", type=int, default=50)
     parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--codec-dir", type=str, default=None,
+                        help="Converted codec ckpts for validation audio logging ('random' ok).")
+    parser.add_argument("--audio-log-after", type=int, default=1000)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
@@ -131,6 +134,50 @@ def main() -> None:
                           wandb_kwargs={"project": "flamed-tts-tpu"})
     ckpt = CheckpointManager(os.path.join(args.exp_dir, "checkpoints"))
 
+    # Validation audio logging (reference flamed_lightning.py:151-188
+    # logs GT + synthesized audio to wandb once global_step >= 1000; we
+    # write WAVs under exp_dir/val_audio and require converted codec
+    # checkpoints to be present — skipped otherwise).
+    audio_logger = None
+    if args.codec_dir:
+        try:
+            from flamed_tts_tpu.models.codec_wrapper import FaCodec
+            from flamed_tts_tpu.utils.audio import save_wav
+
+            codec = (FaCodec.random_init(jax.random.PRNGKey(1))
+                     if args.codec_dir == "random"
+                     else FaCodec.from_pretrained(cfg["codec_cfg"], ckpt_dir=args.codec_dir))
+            val_sample_cache = []
+
+            def audio_logger(state, step):
+                if step < args.audio_log_after:
+                    return
+                if not val_sample_cache:
+                    val_sample_cache.append(next(make_val_batches(), None))
+                val_sample = val_sample_cache[0]
+                if val_sample is None:
+                    return
+                model.params = jax.device_get(state.params)
+                out = model.sample_batch(
+                    phonemes=val_sample["phonemes"][:1],
+                    src_lens=val_sample["x_len"][:1],
+                    prompts=val_sample["prompts"][:1],
+                    timbres=val_sample["spks"][:1],
+                    codec=codec, rng=jax.random.PRNGKey(step),
+                    nsteps_durgen=16, nsteps_denoiser=32,
+                )
+                n = int(out["tgt_len"][0]) * codec.hop
+                save_wav(os.path.join(args.exp_dir, "val_audio", f"step{step}_synth.wav"),
+                         out["wav"][0, :n, 0])
+                import jax.numpy as jnp
+                m = int(val_sample["y_len"][0])
+                gt = codec.decode(jnp.asarray(val_sample["embs"][:1, :m]),
+                                  jnp.asarray(val_sample["spks"][:1]))
+                save_wav(os.path.join(args.exp_dir, "val_audio", f"step{step}_gt.wav"),
+                         jax.device_get(gt)[0, :, 0])
+        except FileNotFoundError as exc:
+            print(f"[train] no codec checkpoints; audio logging disabled ({exc})")
+
     def epochs():
         epoch = 0
         while True:
@@ -164,6 +211,7 @@ def main() -> None:
             logger=logger,
             ckpt=ckpt,
             eval_step=eval_fn,
+            audio_logger=audio_logger,
         )
     print(f"Training finished at step {int(jax.device_get(state.step))}")
 
