@@ -65,65 +65,46 @@ def main() -> None:
 
     # A trained duration model yields ~5-7 frames/phoneme (80 fps); random
     # weights yield ~1, which would shrink the denominator and overstate
-    # RTF.  The bench therefore drives the identical compiled programs but
-    # forces a realistic duration profile, producing a ~10 s utterance —
-    # the quantity the north-star target describes.
-    frontend_ids, _, _ = model._get_frontend()(TEXT)
-    n_ph = frontend_ids.shape[1]
-    codes, timbre = codec.encode_prompt(prompt)
+    # RTF.  Bias the duration flow's output layer so the sampled
+    # durations land at ~6-7 frames/phoneme (and silences at ~0): the
+    # bench then drives the EXACT production path (model.sample: frontend
+    # -> prompt analysis -> fused prior+denoiser+codec call) end to end.
+    import math
 
-    sampler = model.sampler
-    from flamed_tts_tpu.runtime.buckets import pick_bucket
-
-    l_bucket = pick_bucket(n_ph, sampler.phoneme_buckets)
-    phonemes = np.zeros((1, l_bucket), np.int32)
-    phonemes[0, :n_ph] = frontend_ids[0]
-    src_lens = jnp.asarray([n_ph], dtype=jnp.int32)
-    p_bucket = pick_bucket(codes.shape[-1], sampler.prompt_buckets)
-    prompts = np.full((1, codes.shape[0], p_bucket), model.vocab_size, np.int32)
-    prompts[0, :, : codes.shape[-1]] = codes
-    prompt_lens = jnp.asarray([codes.shape[-1]], dtype=jnp.int32)
-
-    rng0 = jax.random.PRNGKey(0)
-    phone_dur = np.full((1, l_bucket), 6.0, np.float32)
-    sil_dur = np.zeros((1, l_bucket), np.float32)
-    sil_dur[0, ::8] = 4.0
-    n_frames = int(phone_dur[0, :n_ph].sum() + sil_dur[0, :n_ph].sum())
-    f_bucket = pick_bucket(n_frames, sampler.frame_buckets)
-    audio_seconds = n_frames / 80.0
+    dg = model.params["prior"]["params"]["duration_generator"]["linear_layer"]
+    dg["kernel"] = jnp.zeros_like(dg["kernel"])
+    dg["bias"] = jnp.full_like(dg["bias"], math.log(7.0))
+    sg = model.params["prior"]["params"]["sil_generator"]["linear_layer"]
+    sg["kernel"] = jnp.zeros_like(sg["kernel"])
+    sg["bias"] = jnp.full_like(sg["bias"], -1.0)
 
     def run(seed: int):
-        # Includes prompt analysis, matching the span the reference's
-        # sample() times (flamed.py:127-161).
-        codes_i, timbre_i = codec.encode_prompt(prompt)
-        rng = jax.random.PRNGKey(seed)
-        r1, r2 = jax.random.split(rng)
-        enc_out, _, _, _ = sampler._stage1(
-            model.params["prior"], jnp.asarray(phonemes), src_lens, r1,
-            NSTEPS_DURGEN, jnp.float32(0.3),
+        return model.sample(
+            text=TEXT,
+            prompt_raw=prompt,
+            codec=codec,
+            nsteps_durgen=NSTEPS_DURGEN,
+            nsteps_denoiser=NSTEPS_DENOISER,
+            temp_durgen=0.3,
+            temp_denoiser=0.3,
+            rng=jax.random.PRNGKey(seed),
         )
-        _, _, _, tgt_len, _, wav = sampler._stage2(
-            model.params["prior"], model.params["prob"], enc_out,
-            jnp.asarray(phone_dur), jnp.asarray(sil_dur), src_lens,
-            jnp.asarray(prompts), prompt_lens, f_bucket, NSTEPS_DENOISER,
-            jnp.asarray(timbre_i[None, :]), r2, jnp.float32(0.3),
-            codec.dec_params, True,
-        )
-        return np.asarray(jax.device_get(wav))[0, : n_frames * 200, 0]
 
-    warm = run(0)  # compile
-    times = []
+    warm = run(0)  # compile every touched bucket
+    times, seconds = [], []
     for seed in range(1, 4):
         t0 = time.time()
         out = run(seed)
         times.append(time.time() - t0)
+        seconds.append(len(out["wav"]) / 16000.0)
 
-    rtf = float(np.mean(times) / audio_seconds)
+    audio_seconds = float(np.mean(seconds))
     print(
         f"[bench] audio={audio_seconds:.2f}s per-run={np.mean(times):.3f}s "
-        f"(frames={n_frames}, bucket={f_bucket}, precision={precision})",
+        f"(precision={precision})",
         file=sys.stderr,
     )
+    rtf = float(np.mean(times) / audio_seconds)
     print(
         json.dumps(
             {

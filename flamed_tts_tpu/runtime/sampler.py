@@ -55,6 +55,7 @@ class BucketedSampler:
         # device call pays ~25 ms of dispatch through the TPU tunnel.
         self._stage1 = jax.jit(self._stage1_impl, static_argnums=(4,))
         self._stage2 = jax.jit(self._stage2_impl, static_argnums=(8, 9, 14))
+        self._fused = jax.jit(self._fused_impl, static_argnums=(9, 10, 11, 14))
 
     # --- stage 1: encode + duration/silence flow ------------------------
 
@@ -108,6 +109,43 @@ class BucketedSampler:
             wav = synthesize(dec_params, latents, timbres)
         return latents, hiddens, logits, tgt_len, tgt_mask, wav
 
+    def _fused_impl(
+        self,
+        prior_params,
+        prob_params,
+        dec_params,
+        phonemes,
+        src_lens,
+        prompts,
+        prompt_lens,
+        timbres,
+        rng,
+        max_frames,    # static (speculative bucket)
+        nfe_durgen,    # static
+        nfe_denoiser,  # static
+        temp_durgen,
+        temp_denoiser,
+        decode_audio,  # static
+    ):
+        """Whole pipeline in ONE device call at a speculative frame bucket.
+
+        Each separate call pays ~25 ms of tunnel dispatch in this
+        environment; the fused form trades a host-side bucket decision
+        (which needs a device round-trip for the sampled tgt_len) for a
+        heuristic bucket + a rare overflow retry.  Returns the raw
+        (unclipped) tgt_len so the caller can detect overflow.
+        """
+        rng1, rng2 = jax.random.split(rng)
+        enc_out, phone_dur, sil_dur, tgt_len_raw = self._stage1_impl(
+            prior_params, phonemes, src_lens, rng1, nfe_durgen, temp_durgen
+        )
+        latents, hiddens, logits, tgt_len, tgt_mask, wav = self._stage2_impl(
+            prior_params, prob_params, enc_out, phone_dur, sil_dur, src_lens,
+            prompts, prompt_lens, max_frames, nfe_denoiser, timbres, rng2,
+            temp_denoiser, dec_params, decode_audio,
+        )
+        return latents, hiddens, logits, tgt_len, tgt_mask, wav, tgt_len_raw
+
     # --- public API ------------------------------------------------------
 
     def sample(
@@ -127,11 +165,19 @@ class BucketedSampler:
         vocab_pad: int = 1024,
         mesh=None,
         dec_params=None,
+        fused: bool = True,
+        frames_per_phoneme_budget: int = 14,
     ) -> Dict[str, jnp.ndarray]:
         """Bucketed sampling; with ``mesh`` given, the utterance batch is
         sharded over the mesh's 'data' axis (throughput mode: the batch
         is padded with repeats of row 0 up to a multiple of the axis size,
-        and the padding rows are sliced off the outputs)."""
+        and the padding rows are sliced off the outputs).
+
+        ``fused=True`` runs the whole pipeline as one device call at a
+        speculative frame bucket (src_len * frames_per_phoneme_budget),
+        retrying once at the exact bucket on overflow — saving two device
+        round-trips per utterance.  ``fused=False`` uses the two-stage
+        path that always picks the tightest frame bucket."""
         b_real = phonemes.shape[0]
         pad_rows = 0
         if mesh is not None:
@@ -170,6 +216,59 @@ class BucketedSampler:
 
         phonemes_j = place(phonemes_b)
         src_lens_j = place(src_lens)
+
+        if fused:
+            f_guess = pick_bucket(
+                int(np.max(src_lens)) * frames_per_phoneme_budget,
+                self.frame_buckets,
+            )
+            timbres_j = place(np.asarray(timbres, dtype=np.float32))
+            prompts_j = place(prompts_b)
+            prompt_lens_j = place(prompt_lens)
+
+            def call_fused(f_bucket):
+                return self._fused(
+                    prior_params, prob_params, dec_params,
+                    phonemes_j, src_lens_j, prompts_j, prompt_lens_j,
+                    timbres_j, rng, f_bucket, nsteps_durgen, nsteps_denoiser,
+                    jnp.float32(temp_durgen), jnp.float32(temp_denoiser),
+                    dec_params is not None,
+                )
+
+            result = call_fused(f_guess)
+            # One RPC fetches overflow indicator + final outputs together.
+            if result[5] is not None:
+                tgt_raw_h, tgt_len_h, wav_h = jax.device_get(
+                    (result[6], result[3], result[5])
+                )
+            else:
+                tgt_raw_h, tgt_len_h = jax.device_get((result[6], result[3]))
+                wav_h = None
+            if int(tgt_raw_h.max()) > f_guess and f_guess < self.frame_buckets[-1]:
+                result = call_fused(pick_bucket(int(tgt_raw_h.max()), self.frame_buckets))
+                if result[5] is not None:
+                    _, tgt_len_h, wav_h = jax.device_get(
+                        (result[6], result[3], result[5])
+                    )
+                else:
+                    tgt_len_h = jax.device_get(result[3])
+            latents, hiddens, logits, _, tgt_mask, _, _ = result
+            out = {
+                "latents": latents,
+                "prior_embs": hiddens,
+                "prior_logits": logits,
+                "tgt_len": tgt_len_h,
+                "tgt_mask": tgt_mask,
+                "frame_bucket": latents.shape[1],
+            }
+            if wav_h is not None:
+                out["wav"] = wav_h
+            if pad_rows:
+                out = {
+                    k: (v[:b_real] if hasattr(v, "ndim") and v.ndim > 0 else v)
+                    for k, v in out.items()
+                }
+            return out
 
         rng1, rng2 = jax.random.split(rng)
         enc_out, phone_dur, sil_dur, tgt_len_est = self._stage1(
