@@ -63,6 +63,23 @@ class CheckpointManager:
         save_pytree_npz(path, jax.device_get(state.params))
         return path
 
+    def save_full_state(self, state: TrainState) -> str:
+        """Full-state checkpoint (params + optimizer moments + step) for
+        exact resume, msgpack-serialized (the Lightning-ckpt analogue)."""
+        from flax import serialization
+
+        path = os.path.join(self.ckpt_dir, "train_state.msgpack")
+        with open(path, "wb") as fout:
+            fout.write(serialization.to_bytes(jax.device_get(state)))
+        return path
+
+    def load_full_state(self, template: TrainState) -> TrainState:
+        from flax import serialization
+
+        path = os.path.join(self.ckpt_dir, "train_state.msgpack")
+        with open(path, "rb") as fin:
+            return serialization.from_bytes(template, fin.read())
+
     def save_topk(self, state: TrainState, val_loss: float, step: int) -> Optional[str]:
         path = os.path.join(self.ckpt_dir, f"step{step}-val{val_loss:.4f}.npz")
         save_pytree_npz(path, jax.device_get(state.params))
@@ -119,6 +136,7 @@ def run_training(
                     ckpt.save_topk(state, val_loss, step)
             if ckpt is not None:
                 ckpt.save_last(state)
+                ckpt.save_full_state(state)
             if audio_logger is not None:
                 try:
                     audio_logger(state, step)

@@ -29,7 +29,9 @@ def main() -> None:
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--resume", type=str, default=None,
-                        help="Converted .npz params to resume from.")
+                        help="Converted .npz params to resume from (weights only).")
+    parser.add_argument("--resume-full", action="store_true",
+                        help="Resume params+optimizer+step from exp_dir/checkpoints/train_state.msgpack.")
     parser.add_argument("--val-every", type=int, default=1000)
     parser.add_argument("--log-every", type=int, default=50)
     parser.add_argument("--wandb", action="store_true")
@@ -197,6 +199,10 @@ def main() -> None:
             model.prior_module, model.prob_module, params, batch, rng, train=False
         )
     )
+
+    if args.resume_full:
+        state = ckpt.load_full_state(state)
+        print(f"Resumed full train state at step {int(state.step)}")
 
     with mesh:
         jitted, state = jit_train_step_on_mesh(train_step, state, mesh)
