@@ -48,6 +48,11 @@ class BucketedSampler:
         self.phoneme_buckets = list(phoneme_buckets)
         self.frame_buckets = list(frame_buckets)
         self.prompt_buckets = list(prompt_buckets)
+        # Observed frames-per-phoneme ratios (fused-mode speculative
+        # bucket sizing): p95 * margin of the recent history, so the
+        # speculative bucket tracks the actual speech rate instead of a
+        # worst-case constant.
+        self._ratio_history: list = []
 
         # nfe/temperature are static in the jitted signatures; bucket
         # shapes vary via the input shapes themselves.  Codec decode is
@@ -166,7 +171,7 @@ class BucketedSampler:
         mesh=None,
         dec_params=None,
         fused: bool = True,
-        frames_per_phoneme_budget: int = 14,
+        frames_per_phoneme_budget: Optional[float] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Bucketed sampling; with ``mesh`` given, the utterance batch is
         sharded over the mesh's 'data' axis (throughput mode: the batch
@@ -218,8 +223,15 @@ class BucketedSampler:
         src_lens_j = place(src_lens)
 
         if fused:
+            if frames_per_phoneme_budget is None:
+                if len(self._ratio_history) >= 4:
+                    frames_per_phoneme_budget = float(
+                        np.percentile(self._ratio_history[-64:], 95) * 1.2
+                    )
+                else:
+                    frames_per_phoneme_budget = 9.0
             f_guess = pick_bucket(
-                int(np.max(src_lens)) * frames_per_phoneme_budget,
+                int(np.max(src_lens) * frames_per_phoneme_budget),
                 self.frame_buckets,
             )
             timbres_j = place(np.asarray(timbres, dtype=np.float32))
@@ -244,6 +256,9 @@ class BucketedSampler:
             else:
                 tgt_raw_h, tgt_len_h = jax.device_get((result[6], result[3]))
                 wav_h = None
+            # Record the observed speech rate for future bucket guesses.
+            ratios = tgt_raw_h / np.maximum(np.asarray(src_lens, np.float32), 1.0)
+            self._ratio_history.extend(float(r) for r in ratios)
             if int(tgt_raw_h.max()) > f_guess and f_guess < self.frame_buckets[-1]:
                 result = call_fused(pick_bucket(int(tgt_raw_h.max()), self.frame_buckets))
                 if result[5] is not None:

@@ -34,11 +34,22 @@ def _to_float32(data: np.ndarray) -> np.ndarray:
 
 
 def load_wav(path: str, sr: int = DEFAULT_SR) -> np.ndarray:
-    """Load a WAV as mono float32 in [-1, 1] resampled to ``sr``."""
-    file_sr, data = wavfile.read(path)
-    wav = _to_float32(np.asarray(data))
-    if wav.ndim == 2:  # (T, channels) -> mono
-        wav = wav.mean(axis=1)
+    """Load a WAV as mono float32 in [-1, 1] resampled to ``sr``.
+
+    Decoding uses the native C++ codec (native/wavio.cpp) when its
+    shared object is available, with this scipy path as fallback."""
+    from flamed_tts_tpu.utils import native_audio
+
+    with open(path, "rb") as fin:
+        raw = fin.read()
+    native = native_audio.decode_wav(raw)
+    if native is not None:
+        wav, file_sr = native
+    else:
+        file_sr, data = wavfile.read(path)
+        wav = _to_float32(np.asarray(data))
+        if wav.ndim == 2:  # (T, channels) -> mono
+            wav = wav.mean(axis=1)
     if file_sr != sr:
         g = np.gcd(int(file_sr), int(sr))
         wav = resample_poly(wav, sr // g, file_sr // g).astype(np.float32)

@@ -74,3 +74,28 @@ def test_sharded_pads_partial_batch(setup):
         )
     assert out["latents"].shape[0] == 5
     assert out["tgt_len"].shape[0] == 5
+
+
+def test_fused_matches_two_stage(setup):
+    """The fused single-call path and the two-stage path must produce
+    identical outputs for the same rng (same noise split order)."""
+    sampler, params = setup
+    inputs = _inputs(2)
+    rng = jax.random.PRNGKey(11)
+    kwargs = dict(nsteps_durgen=2, nsteps_denoiser=2, vocab_pad=32)
+
+    out_fused = sampler.sample(
+        params["prior"], params["prob"], rng=rng, fused=True, **inputs, **kwargs
+    )
+    out_two = sampler.sample(
+        params["prior"], params["prob"], rng=rng, fused=False, **inputs, **kwargs
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_fused["tgt_len"]), np.asarray(out_two["tgt_len"])
+    )
+    f = min(out_fused["latents"].shape[1], out_two["latents"].shape[1])
+    np.testing.assert_allclose(
+        np.asarray(out_fused["latents"])[:, :f],
+        np.asarray(out_two["latents"])[:, :f],
+        atol=1e-5, rtol=1e-5,
+    )
