@@ -18,14 +18,13 @@ is cached on the jit cache for the life of the process.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flamed_tts_tpu.models.prior.sampling import durations_from_flow, pva_sample
+from flamed_tts_tpu.models.prior.sampling import pva_sample
 from flamed_tts_tpu.models.prob.prob_generator import prob_sample
 from flamed_tts_tpu.ops.length_regulator import length_regulate
 from flamed_tts_tpu.ops.masking import mask_from_lengths

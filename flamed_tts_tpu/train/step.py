@@ -7,14 +7,13 @@ weight decay 1e-4, linear warmup 5k then cosine to 0 over 500k steps.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from flamed_tts_tpu.parallel.sharding import param_shardings
 from flamed_tts_tpu.train.losses import compute_losses
 
 
