@@ -94,34 +94,24 @@ class SimpleMLPAdaLN(nn.Module):
     convnext_expand: int = 1
     convnext_groups: Optional[int] = None
 
-    @nn.compact
-    def __call__(
-        self,
-        x: jnp.ndarray,    # (B, L, in_channels)
-        t: jnp.ndarray,    # broadcastable to (B, L): scalar, (B,), or (B, L)
-        spk: jnp.ndarray,  # (B, spk_dim)
-        pad_mask: Optional[jnp.ndarray] = None,
-    ) -> jnp.ndarray:
-        t = jnp.asarray(t, dtype=jnp.float32)
-        while t.ndim < 2:
-            t = t[None] if t.ndim == 0 else t[:, None]
-        t_emb = TimestepEmbedder(
+    def setup(self):
+        self.time_embed = TimestepEmbedder(
             hidden_size=self.model_channels, name="time_embed"
-        )(t)  # (B_or_1, L_or_1, C)
-        spk_emb = nn.Dense(self.model_channels, name="cond_embed")(spk)
-        y = t_emb + spk_emb[:, None, :]
-
-        x = nn.Dense(self.model_channels, name="proj_in")(x)
-        for i in range(self.num_res_blocks):
-            x = AdaLNResBlock(
+        )
+        self.cond_embed = nn.Dense(self.model_channels, name="cond_embed")
+        self.proj_in = nn.Dense(self.model_channels, name="proj_in")
+        self.res_blocks = [
+            AdaLNResBlock(
                 channels=self.model_channels,
                 convnext_kernel=self.convnext_kernel,
                 convnext_padding=self.convnext_padding,
                 convnext_expand=self.convnext_expand,
                 convnext_groups=self.convnext_groups,
                 name=f"res_block_{i}",
-            )(x, y, pad_mask)
-        return FinalLayer(
+            )
+            for i in range(self.num_res_blocks)
+        ]
+        self.final_layer = FinalLayer(
             model_channels=self.model_channels,
             out_channels=self.out_channels,
             convnext_kernel=self.convnext_kernel,
@@ -129,7 +119,50 @@ class SimpleMLPAdaLN(nn.Module):
             convnext_expand=self.convnext_expand,
             convnext_groups=self.convnext_groups,
             name="final_layer",
-        )(x, y, pad_mask)
+        )
+
+    def __call__(
+        self,
+        x: jnp.ndarray,    # (B, L, in_channels)
+        t: Optional[jnp.ndarray],  # broadcastable to (B, L); None with mods
+        spk: Optional[jnp.ndarray],  # (B, spk_dim); None with mods
+        pad_mask: Optional[jnp.ndarray] = None,
+        mods: Optional[Tuple[jnp.ndarray, ...]] = None,
+    ) -> jnp.ndarray:
+        if mods is None:
+            t = jnp.asarray(t, dtype=jnp.float32)
+            while t.ndim < 2:
+                t = t[None] if t.ndim == 0 else t[:, None]
+            t_emb = self.time_embed(t)  # (B_or_1, L_or_1, C)
+            y = t_emb + self.cond_embed(spk)[:, None, :]
+            block_mods = [None] * (self.num_res_blocks + 1)
+        else:
+            y = None
+            block_mods = list(mods)
+
+        x = self.proj_in(x)
+        for i, block in enumerate(self.res_blocks):
+            x = block(x, y, pad_mask, mods=block_mods[i])
+        return self.final_layer(x, y, pad_mask, mods=block_mods[-1])
+
+    def compute_mods(self, t_grid: jnp.ndarray, spk: jnp.ndarray):
+        """All Euler steps' adaLN modulations in batched matmuls.
+
+        t_grid: (S,) static step times; spk: (B, spk_dim).
+        Returns num_res_blocks tensors of shape (S, B, 1, 6C) plus the
+        final layer's (S, B, 1, 5C) — the per-step xs of the sampling
+        scan.  Hoisting these out of the Euler loop removes ~13 small
+        serial matmuls per step (t is a static linspace, so every step's
+        conditioning is known upfront).
+        """
+        t = jnp.asarray(t_grid, dtype=jnp.float32)[:, None]  # (S, 1)
+        t_emb = self.time_embed(t)  # (S, 1, C)
+        spk_emb = self.cond_embed(spk)  # (B, C)
+        y = t_emb[:, None, :, :] + spk_emb[None, :, None, :]  # (S, B, 1, C)
+
+        return tuple(
+            block(None, y, None, mods_only=True) for block in self.res_blocks
+        ) + (self.final_layer(None, y, None, mods_only=True),)
 
 
 class ProbGenerator(nn.Module):
@@ -190,6 +223,17 @@ class ProbGenerator(nn.Module):
     ) -> jnp.ndarray:
         return self.denoiser(xt, t, spk, pad_mask)
 
+    def denoise_with_mods(
+        self,
+        xt: jnp.ndarray,
+        mods,
+        pad_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        return self.denoiser(xt, None, None, pad_mask, mods=mods)
+
+    def denoiser_mods(self, t_grid: jnp.ndarray, spk: jnp.ndarray):
+        return self.denoiser.compute_mods(t_grid, spk)
+
     def __call__(
         self,
         prior_hiddens: jnp.ndarray,
@@ -225,11 +269,15 @@ def prob_sample(
     ts = jnp.linspace(0.0, 1.0, nfe + 1, dtype=jnp.float32)[:-1]
     delta_t = 1.0 / nfe
 
-    def step(x, t):
-        vt = module.apply(params, x, t, spk, pad_mask, method="denoise")
+    # Hoist every step's adaLN conditioning out of the loop (one batched
+    # matmul per block over all steps) and scan over the stacked tensors.
+    mods = module.apply(params, ts, spk, method="denoiser_mods")
+
+    def step(x, mods_t):
+        vt = module.apply(params, x, mods_t, pad_mask, method="denoise_with_mods")
         return x + delta_t * vt, None
 
-    xt, _ = jax.lax.scan(step, xt, ts)
+    xt, _ = jax.lax.scan(step, xt, mods)
     return xt
 
 

@@ -98,10 +98,24 @@ class AdaLNResBlock(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        y: jnp.ndarray,
+        y: Optional[jnp.ndarray],
         pad_mask: Optional[jnp.ndarray] = None,
+        mods: Optional[jnp.ndarray] = None,
+        mods_only: bool = False,
     ) -> jnp.ndarray:
-        mod = nn.Dense(6 * self.channels, name="adaLN_modulation")(nn.silu(y))
+        if mods_only:
+            # Produce this block's modulation tensor for a whole grid of
+            # conditioning vectors at once (Euler-loop hoisting: t is a
+            # static linspace, so all steps' adaLN outputs batch into one
+            # matmul instead of one small matmul per step).
+            return nn.Dense(6 * self.channels, name="adaLN_modulation")(nn.silu(y))
+        if mods is None:
+            mods = nn.Dense(6 * self.channels, name="adaLN_modulation")(nn.silu(y))
+        elif self.is_initializing():
+            # Touch the Dense during init so its params always exist.
+            nn.Dense(6 * self.channels, name="adaLN_modulation")(
+                nn.silu(jnp.zeros((1, 1, self.channels)))
+            )
         (
             shift_conv,
             scale_conv,
@@ -109,7 +123,7 @@ class AdaLNResBlock(nn.Module):
             shift_mlp,
             scale_mlp,
             gate_mlp,
-        ) = jnp.split(mod, 6, axis=-1)
+        ) = jnp.split(mods, 6, axis=-1)
 
         h = nn.LayerNorm(epsilon=1e-6, name="ln_conv")(x)
         h = ConvNeXtBlock(
@@ -144,12 +158,21 @@ class FinalLayer(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        c: jnp.ndarray,
+        c: Optional[jnp.ndarray],
         pad_mask: Optional[jnp.ndarray] = None,
+        mods: Optional[jnp.ndarray] = None,
+        mods_only: bool = False,
     ) -> jnp.ndarray:
-        mod = nn.Dense(5 * self.model_channels, name="adaLN_modulation")(nn.silu(c))
+        if mods_only:
+            return nn.Dense(5 * self.model_channels, name="adaLN_modulation")(nn.silu(c))
+        if mods is None:
+            mods = nn.Dense(5 * self.model_channels, name="adaLN_modulation")(nn.silu(c))
+        elif self.is_initializing():
+            nn.Dense(5 * self.model_channels, name="adaLN_modulation")(
+                nn.silu(jnp.zeros((1, 1, self.model_channels)))
+            )
         shift_conv, scale_conv, gate_conv, shift_mlp, scale_mlp = jnp.split(
-            mod, 5, axis=-1
+            mods, 5, axis=-1
         )
 
         h = layer_norm_noaffine(x)
