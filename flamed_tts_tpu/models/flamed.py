@@ -251,6 +251,14 @@ class Flamed:
 
         ``mesh``: optional jax.sharding.Mesh — shards the utterance batch
         over the 'data' axis for multi-chip throughput mode.
+
+        Layout note vs the reference: arrays here are channel-last/TPU
+        native — ``latents`` is (B, F, 256) where the reference returns
+        (B, 256, F), and ``prior_logits`` is (B, n_q, F, V+1) where the
+        reference permutes to (B, V+1, n_q, F).  Transpose on the host if
+        the torch layouts are needed; it is not done here because these
+        tensors are usually unused at inference and an extra device op
+        costs a dispatch round trip.
         """
         start_time = time.time()
         if rng is None:
