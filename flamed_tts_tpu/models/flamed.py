@@ -281,7 +281,10 @@ class Flamed:
             temp_denoiser=temp_denoiser,
             vocab_pad=self.vocab_size,
             mesh=mesh,
-            dec_params=codec.dec_params if codec is not None else None,
+            # Codec decode runs as its own jitted call: measured 26 ms
+            # standalone vs ~125 ms when compiled into the big fused
+            # program (XLA schedules the conv stacks far worse there).
+            dec_params=None,
         )
         outputs: Dict[str, np.ndarray] = {
             "prior_embs": out["prior_embs"],
@@ -290,8 +293,9 @@ class Flamed:
             "tgt_len": np.asarray(jax.device_get(out["tgt_len"])),
             "latents": out["latents"],
         }
-        if "wav" in out:
-            outputs["wav"] = np.asarray(jax.device_get(out["wav"]))
+        if codec is not None:
+            wav = codec.decode(out["latents"], jnp.asarray(timbres, dtype=jnp.float32))
+            outputs["wav"] = np.asarray(jax.device_get(wav))
         else:
             jax.block_until_ready(out["latents"])
         outputs["time"] = time.time() - start_time
