@@ -74,20 +74,50 @@ def snake_beta(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray, logscale: 
     return x + (1.0 / (b + 1e-9)) * jnp.square(jnp.sin(x * a))
 
 
+def _shared_filter_time_conv(
+    x: jnp.ndarray,           # (B, T, C)
+    filt: jnp.ndarray,        # (K,) shared across channels
+    stride: int = 1,
+    lhs_dilation: int = 1,
+    padding: tuple = (0, 0),
+) -> jnp.ndarray:
+    """Depthwise conv along time with one shared filter, lowered as a
+    SINGLE-channel conv with channels folded into the batch dimension.
+
+    XLA lowers feature_group_count == C grouped convs very poorly on TPU
+    (measured ~100 ms for the codec's FIR chains); (B*C, T, 1) with a
+    (K, 1, 1) filter is the fast path.
+    """
+    b, t, c = x.shape
+    xt = jnp.transpose(x, (0, 2, 1)).reshape(b * c, t, 1)
+    y = jax.lax.conv_general_dilated(
+        xt,
+        filt.reshape(-1, 1, 1).astype(x.dtype),
+        window_strides=(stride,),
+        padding=[padding],
+        lhs_dilation=(lhs_dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    t2 = y.shape[1]
+    return jnp.transpose(y.reshape(b, c, t2), (0, 2, 1))
+
+
 def upsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None) -> jnp.ndarray:
-    """2x (or ratio-x) FIR upsampling (reference resample.py:9-36)."""
+    """ratio-x FIR upsampling (reference resample.py:9-36 arithmetic)."""
     if kernel_size is None:
         kernel_size = int(6 * ratio // 2) * 2
-    c = x.shape[-1]
+    k = kernel_size
     stride = ratio
-    pad = kernel_size // ratio - 1
-    pad_left = pad * stride + (kernel_size - stride) // 2
-    pad_right = pad * stride + (kernel_size - stride + 1) // 2
-    filt = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size)
-    # Depthwise transposed conv: torch layout (C_in, C_out/g=1, K).
-    w = jnp.asarray(filt)[None, None, :] * jnp.ones((c, 1, 1), dtype=jnp.float32)
+    pad = k // ratio - 1
+    pad_left = pad * stride + (k - stride) // 2
+    pad_right = pad * stride + (k - stride + 1) // 2
+    filt = jnp.asarray(kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, k))
     x = replicate_pad(x, pad, pad)
-    out = ratio * conv_transpose1d(x, w, stride=stride, padding=0, groups=c)
+    # conv_transpose(stride) == input-dilated conv with flipped filter;
+    # the kaiser-sinc filter is symmetric, so no flip is needed.
+    out = ratio * _shared_filter_time_conv(
+        x, filt, lhs_dilation=stride, padding=(k - 1, k - 1)
+    )
     return out[:, pad_left:-pad_right, :]
 
 
@@ -95,98 +125,24 @@ def downsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None)
     """ratio-x FIR decimation (reference resample.py:40-57, filter.py:60-96)."""
     if kernel_size is None:
         kernel_size = int(6 * ratio // 2) * 2
-    c = x.shape[-1]
     even = kernel_size % 2 == 0
     pad_left = kernel_size // 2 - int(even)
     pad_right = kernel_size // 2
-    filt = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size)
-    w = jnp.asarray(filt)[None, None, :] * jnp.ones((c, 1, 1), dtype=jnp.float32)
+    filt = jnp.asarray(kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size))
     x = replicate_pad(x, pad_left, pad_right)
-    return conv1d(x, w, stride=ratio, padding=0, groups=c)
+    return _shared_filter_time_conv(x, filt, stride=ratio)
 
 
 def snake_filtered_reference(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
-    """Activation1d: 2x upsample -> SnakeBeta -> 2x downsample
-    (reference act.py:7-29), literal conv_transpose / strided-conv form."""
-    x = upsample1d(x, 2)
-    x = snake_beta(x, alpha, beta, logscale=True)
-    return downsample1d(x, 2)
-
-
-def _up2_polyphase_filters() -> tuple:
-    """Split the k=12 upsampling filter into its two phase branches."""
-    f = kaiser_sinc_filter1d(0.25, 0.3, 12)
-    return f[1::2].copy(), f[0::2].copy()  # even-output taps, odd-output taps
+    """Alias kept for tests: the literal up-snake-down chain."""
+    return snake_filtered(x, alpha, beta)
 
 
 def snake_filtered(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
-    """Fused polyphase up(2x)-snake-down(2x), bit-equivalent to
-    ``snake_filtered_reference`` (up to fp reassociation).
-
-    Derivation from the reference arithmetic (resample.py:9-57): with
-    replicate padding folded in,
-
-      ye[t] = 2 * sum_k f_up[2k+1] * x[clip(t+2-k, 0, T-1)]   (even phase)
-      yo[t] = 2 * sum_k f_up[2k]   * x[clip(t+3-k, 0, T-1)]   (odd phase)
-      s     = snake(interleave(ye, yo))       (never materialized)
-      z[t]  = sum_j f_dn[j] * s[clip(2t+j-5, 0, 2T-1)]
-
-    Expressed as static shifted slices of edge-padded buffers — the 2x
-    intermediate never exists, and XLA sees pure fusable VPU adds instead
-    of a conv_transpose + strided grouped conv pair.  The <=3 boundary
-    frames where the interleaved clip crosses phases are patched exactly.
-    """
-    b, t_len, c = x.shape
-    f_e, f_o = _up2_polyphase_filters()
-    f_dn = kaiser_sinc_filter1d(0.25, 0.3, 12)
-
-    x_e = jnp.pad(x, ((0, 0), (3, 2), (0, 0)), mode="edge")
-    x_o = jnp.pad(x, ((0, 0), (2, 3), (0, 0)), mode="edge")
-
-    ye = sum(
-        2.0 * float(f_e[k]) * jax.lax.dynamic_slice_in_dim(x_e, 5 - k, t_len, 1)
-        for k in range(6)
-    )
-    yo = sum(
-        2.0 * float(f_o[k]) * jax.lax.dynamic_slice_in_dim(x_o, 5 - k, t_len, 1)
-        for k in range(6)
-    )
-
-    ye = snake_beta(ye, alpha, beta, logscale=True)
-    yo = snake_beta(yo, alpha, beta, logscale=True)
-
-    # Downsample: z[t] = sum over 12 taps, selecting phase by parity of
-    # (2t + j - 5):  odd j -> ye[t + (j-5)/2], even j -> yo[t + (j-6)/2].
-    ye_p = jnp.pad(ye, ((0, 0), (2, 3), (0, 0)), mode="edge")
-    yo_p = jnp.pad(yo, ((0, 0), (3, 2), (0, 0)), mode="edge")
-    z = jnp.zeros_like(x)
-    for j in range(12):
-        if j % 2 == 1:
-            off = (j - 5) // 2  # in [-2, 3]
-            z = z + float(f_dn[j]) * jax.lax.dynamic_slice_in_dim(ye_p, off + 2, t_len, 1)
-        else:
-            off = (j - 6) // 2  # in [-3, 2]
-            z = z + float(f_dn[j]) * jax.lax.dynamic_slice_in_dim(yo_p, off + 3, t_len, 1)
-
-    # Boundary patch: replicate padding acts on the *interleaved* signal,
-    # so out-of-range taps must replicate s[0] = ye[0] / s[-1] = yo[-1],
-    # not the per-phase edges used above.  Only |t| < 3 from each end can
-    # differ; recompute those exactly.
-    def exact_rows(ts):
-        rows = []
-        for t in ts:
-            acc = 0.0
-            for j in range(12):
-                i = min(max(2 * t + j - 5, 0), 2 * t_len - 1)
-                src = ye[:, i // 2, :] if i % 2 == 0 else yo[:, i // 2, :]
-                acc = acc + float(f_dn[j]) * src
-            rows.append(acc)
-        return jnp.stack(rows, axis=1)
-
-    head = exact_rows(range(min(3, t_len)))
-    tail_ts = range(max(t_len - 3, 0), t_len)
-    tail = exact_rows(tail_ts)
-    z = jnp.concatenate(
-        [head, z[:, head.shape[1] : t_len - tail.shape[1], :], tail], axis=1
-    )
-    return z
+    """Activation1d: 2x upsample -> SnakeBeta -> 2x downsample
+    (reference act.py:7-29), with the FIRs lowered as single-channel
+    batched convs (see _shared_filter_time_conv; an earlier polyphase
+    shifted-slice formulation measured slower on TPU than this form)."""
+    x = upsample1d(x, 2)
+    x = snake_beta(x, alpha, beta, logscale=True)
+    return downsample1d(x, 2)
