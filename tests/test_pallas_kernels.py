@@ -51,3 +51,19 @@ def test_fused_conv_norm_masks_padding():
         x[:, :20], w, scale, bias, jnp.asarray([20])
     )
     np.testing.assert_allclose(out[0, :20], np.asarray(exact)[0], atol=1e-5)
+
+
+def test_fused_snake_resample_matches_xla():
+    from flamed_tts_tpu.ops.resample import snake_filtered
+    import flamed_tts_tpu.ops.pallas_resample as pr
+
+    rng = np.random.RandomState(3)
+    for t_len, c in [(20, 8), (300, 16)]:
+        x = jnp.asarray(rng.randn(2, t_len, c).astype(np.float32))
+        a = jnp.asarray((rng.randn(c) * 0.1).astype(np.float32))
+        b = jnp.asarray((rng.randn(c) * 0.1).astype(np.float32))
+        ref = snake_filtered(x, a, b)
+        out = pr.snake_filtered_pallas(x, a, b)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
