@@ -56,8 +56,8 @@ def _kernel(x_cur_ref, x_next_ref, ab_ref, out_ref, *, tile: int, taps):
     ye = jnp.zeros((tile + 6, c), jnp.float32)
     yo = jnp.zeros((tile + 6, c), jnp.float32)
     for k in range(6):
-        ye = ye + (2.0 * float(f_e[k])) * jax.lax.dynamic_slice_in_dim(xs, 5 - k, tile + 6, 0)
-        yo = yo + (2.0 * float(f_o[k])) * jax.lax.dynamic_slice_in_dim(xs, 6 - k, tile + 6, 0)
+        ye = ye + (2.0 * float(f_e[k])) * xs[5 - k : 5 - k + tile + 6, :]
+        yo = yo + (2.0 * float(f_o[k])) * xs[6 - k : 6 - k + tile + 6, :]
 
     ye = ye + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(ye * alpha))
     yo = yo + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(yo * alpha))
@@ -66,10 +66,10 @@ def _kernel(x_cur_ref, x_next_ref, ab_ref, out_ref, *, tile: int, taps):
     for j in range(12):
         if j % 2 == 1:
             off = (j - 5) // 2  # [-2, 3]
-            z = z + float(f_dn[j]) * jax.lax.dynamic_slice_in_dim(ye, off + 3, tile, 0)
+            z = z + float(f_dn[j]) * ye[off + 3 : off + 3 + tile, :]
         else:
             off = (j - 6) // 2  # [-3, 2]
-            z = z + float(f_dn[j]) * jax.lax.dynamic_slice_in_dim(yo, off + 3, tile, 0)
+            z = z + float(f_dn[j]) * yo[off + 3 : off + 3 + tile, :]
     out_ref[:, :] = z.astype(out_ref.dtype)
 
 
@@ -135,11 +135,21 @@ def snake_filtered_pallas(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray)
 
     z = jax.vmap(one)(xp)[:, :t_len, :]
 
-    # Exact boundary patch (<=3 frames each end).
-    n_edge = min(3, t_len)
-    head = _exact_edge_rows(x, alpha, beta, range(n_edge), t_len)
-    tail = _exact_edge_rows(x, alpha, beta, range(max(t_len - n_edge, 0), t_len), t_len)
+    # Exact boundary patch (<=3 frames each end), computed on small
+    # windows so the patch itself stays off the slow XLA FIR path.
+    if t_len <= 38:
+        n_edge = min(3, t_len)
+        head = _exact_edge_rows(x, alpha, beta, range(n_edge), t_len)
+        tail = _exact_edge_rows(
+            x, alpha, beta, range(max(t_len - n_edge, 0), t_len), t_len
+        )
+    else:
+        w = 19
+        # Rows 0..2 only reach phase indices < 2w-1 (no right clip), and
+        # rows t_len-3.. only reach indices > 0 of the right window.
+        head = _exact_edge_rows(x[:, :w, :], alpha, beta, range(3), w)
+        tail = _exact_edge_rows(x[:, -w:, :], alpha, beta, range(w - 3, w), w)
     z = jnp.concatenate(
-        [head, z[:, n_edge : t_len - tail.shape[1], :], tail], axis=1
+        [head, z[:, head.shape[1] : t_len - tail.shape[1], :], tail], axis=1
     )
     return z
