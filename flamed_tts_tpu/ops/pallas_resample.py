@@ -96,10 +96,13 @@ def _exact_edge_rows(x, alpha, beta, rows, t_len):
 
 
 def _pick_tile(t_len: int, c: int) -> int:
-    # Budget ~6 MB of fp32 VMEM across x/ye/yo/z buffers.
-    budget_rows = max(256, (6 * 2 ** 20 // 4) // max(c, 1) // 4)
-    tile = 1 << int(np.floor(np.log2(budget_rows)))
-    return int(min(tile, max(256, 1 << int(np.ceil(np.log2(max(t_len, 1)))))))
+    """tile * C capped at 64k elements: with ~10 live buffers (double-
+    buffered in/out blocks + xs/ye/yo/z) that is ~2.5 MB of VMEM stack,
+    comfortably under the 16 MB scoped limit."""
+    tile = (2 ** 16) // max(c, 1)
+    tile = 1 << int(np.floor(np.log2(max(tile, 128))))
+    t_cap = max(128, 1 << int(np.ceil(np.log2(max(t_len, 1)))))
+    return int(min(tile, t_cap))
 
 
 def snake_filtered_pallas(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:

@@ -14,6 +14,7 @@ fusion candidate; the XLA path here keeps it as three fusable ops.
 from __future__ import annotations
 
 import math
+import os
 from functools import lru_cache
 
 import jax
@@ -134,15 +135,33 @@ def downsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None)
 
 
 def snake_filtered_reference(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
-    """Alias kept for tests: the literal up-snake-down chain."""
-    return snake_filtered(x, alpha, beta)
+    """The literal up-snake-down chain in XLA ops."""
+    x = upsample1d(x, 2)
+    x = snake_beta(x, alpha, beta, logscale=True)
+    return downsample1d(x, 2)
+
+
+def _pallas_available() -> bool:
+    if os.environ.get("FLAMED_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 def snake_filtered(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
     """Activation1d: 2x upsample -> SnakeBeta -> 2x downsample
-    (reference act.py:7-29), with the FIRs lowered as single-channel
-    batched convs (see _shared_filter_time_conv; an earlier polyphase
-    shifted-slice formulation measured slower on TPU than this form)."""
-    x = upsample1d(x, 2)
-    x = snake_beta(x, alpha, beta, logscale=True)
-    return downsample1d(x, 2)
+    (reference act.py:7-29).
+
+    On TPU this dispatches to the fused Pallas polyphase kernel
+    (ops/pallas_resample.py) — measured 2x faster end-to-end for the
+    codec decoder than any XLA formulation (grouped conv, channels-into-
+    batch, shifted slices).  CPU (and FLAMED_NO_PALLAS=1) uses the XLA
+    chain; both are numerically identical.
+    """
+    if _pallas_available():
+        from flamed_tts_tpu.ops.pallas_resample import snake_filtered_pallas
+
+        return snake_filtered_pallas(x, alpha, beta)
+    return snake_filtered_reference(x, alpha, beta)
