@@ -258,6 +258,7 @@ class BucketedSampler:
             # Record the observed speech rate for future bucket guesses.
             ratios = tgt_raw_h / np.maximum(np.asarray(src_lens, np.float32), 1.0)
             self._ratio_history.extend(float(r) for r in ratios)
+            del self._ratio_history[:-256]  # bound long-server growth
             if int(tgt_raw_h.max()) > f_guess and f_guess < self.frame_buckets[-1]:
                 result = call_fused(pick_bucket(int(tgt_raw_h.max()), self.frame_buckets))
                 if result[5] is not None:
