@@ -95,3 +95,56 @@ def test_fullsize_denoiser_forward():
         mask_from_lengths(jnp.asarray([l]), l), method="denoise",
     )
     assert_close(our_v, ref_v, name="fullsize denoiser", atol=1e-3, rtol=1e-3)
+
+
+def test_fullsize_codec_roundtrip():
+    """Real codec dims (ngf 32, hop 200): encoder forward + analyze +
+    synthesize parity on a short wav."""
+    ref = load_reference()
+    torch.manual_seed(4)
+    ref_enc = ref.facodec.FACodecEncoder(ngf=32, up_ratios=[2, 4, 5, 5],
+                                         out_channels=256).eval()
+    ref_dec = ref.facodec.FACodecDecoder(
+        in_channels=256, upsample_initial_channel=1024, ngf=32,
+        up_ratios=[5, 5, 4, 2], vq_num_q_c=2, vq_num_q_p=1, vq_num_q_r=3,
+        vq_dim=256, codebook_dim=8, codebook_size_prosody=10,
+        codebook_size_content=10, codebook_size_residual=10,
+        use_gr_x_timbre=True, use_gr_residual_f0=True,
+        use_gr_residual_phone=True,
+    ).eval()
+
+    from tools.convert_torch_ckpt import (
+        convert_facodec_decoder,
+        convert_facodec_encoder,
+    )
+    from flamed_tts_tpu.models.facodec.encoder import encoder_forward
+    from flamed_tts_tpu.models.facodec.decoder import analyze, synthesize
+
+    enc_params = convert_facodec_encoder(ref_enc.state_dict())
+    dec_params = convert_facodec_decoder(ref_dec.state_dict())
+
+    rng = np.random.RandomState(5)
+    wav = (rng.randn(1, 1, 4000) * 0.1).astype(np.float32)  # 0.25 s
+    with torch.no_grad():
+        lat_t = ref_enc(torch.from_numpy(wav))
+        _, codes_t, _, _, timbre_t = ref_dec(lat_t, eval_vq=False, vq=True)
+        wav_t = ref_dec.inference(lat_t, timbre_t).numpy()
+
+    lat_j = encoder_forward(enc_params, jnp.asarray(wav.transpose(0, 2, 1)))
+    assert_close(
+        np.asarray(lat_j).transpose(0, 2, 1), lat_t.numpy(),
+        name="fullsize encoder latents", atol=2e-3, rtol=2e-3,
+    )
+    codes_j, timbre_j = analyze(dec_params, jnp.asarray(lat_t.numpy().transpose(0, 2, 1)))
+    match = (np.asarray(codes_j) == codes_t.numpy()).mean()
+    assert match > 0.99, f"code agreement {match}"
+    assert_close(timbre_j, timbre_t.numpy(), name="fullsize timbre", atol=1e-3, rtol=1e-3)
+
+    wav_j = synthesize(
+        dec_params, jnp.asarray(lat_t.numpy().transpose(0, 2, 1)),
+        jnp.asarray(timbre_t.numpy()),
+    )
+    assert_close(
+        np.asarray(wav_j).transpose(0, 2, 1), wav_t,
+        name="fullsize wav", atol=5e-3, rtol=5e-3,
+    )
