@@ -156,6 +156,7 @@ class Flamed:
         timbre: Optional[np.ndarray] = None,
         sr: int = 16000,
         codec: Optional[FaCodec] = None,
+        codec_cfg=None,
         temp_durgen: float = 0.3,
         temp_denoiser: float = 0.3,
         nsteps_durgen: int = 64,
@@ -181,6 +182,10 @@ class Flamed:
             )
         if prompt_processed is not None and timbre is None:
             raise ValueError("`timbre` must be provided along with `prompt_processed`!")
+        if codec is None and codec_cfg is not None:
+            # Reference-API compatibility (flamed.py:109-112): build the
+            # codec from its config when not passed explicitly.
+            codec = FaCodec.from_pretrained(codec_cfg)
 
         start_time = time.time()
 
