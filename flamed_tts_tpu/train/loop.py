@@ -144,4 +144,5 @@ def run_training(
                     print(f"[train] validation audio logging failed: {exc}")
     if ckpt is not None:
         ckpt.save_last(state)
+        ckpt.save_full_state(state)
     return state
