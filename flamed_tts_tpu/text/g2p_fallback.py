@@ -57,6 +57,49 @@ _VOWEL_PHONES = {
 _SOFT_C_E = re.compile(r"^c[eiy]")
 _SOFT_G_E = re.compile(r"^g[eiy]")
 
+# Tiny built-in lexicon of the most frequent English words whose
+# pronunciations letter-to-sound rules get wrong (function words and
+# irregulars).  These dominate running text, so fixing them lifts
+# lexicon-less output quality substantially.
+_COMMON_WORDS = {
+    "the": "DH AH0", "a": "AH0", "an": "AE1 N", "of": "AH1 V",
+    "to": "T UW1", "and": "AE1 N D", "in": "IH1 N", "is": "IH1 Z",
+    "was": "W AA1 Z", "he": "HH IY1", "she": "SH IY1", "be": "B IY1",
+    "we": "W IY1", "me": "M IY1", "are": "AA1 R", "were": "W ER1",
+    "you": "Y UW1", "your": "Y AO1 R", "they": "DH EY1",
+    "their": "DH EH1 R", "there": "DH EH1 R", "this": "DH IH1 S",
+    "that": "DH AE1 T", "these": "DH IY1 Z", "those": "DH OW1 Z",
+    "have": "HH AE1 V", "has": "HH AE1 Z", "had": "HH AE1 D",
+    "do": "D UW1", "does": "D AH1 Z", "done": "D AH1 N",
+    "one": "W AH1 N", "once": "W AH1 N S", "two": "T UW1",
+    "who": "HH UW1", "what": "W AH1 T", "where": "W EH1 R",
+    "why": "W AY1", "how": "HH AW1", "when": "W EH1 N",
+    "would": "W UH1 D", "could": "K UH1 D", "should": "SH UH1 D",
+    "said": "S EH1 D", "says": "S EH1 Z", "some": "S AH1 M",
+    "come": "K AH1 M", "comes": "K AH1 M Z", "from": "F R AH1 M",
+    "my": "M AY1", "by": "B AY1", "i": "AY1", "eye": "AY1",
+    "here": "HH IY1 R", "very": "V EH1 R IY0", "any": "EH1 N IY0",
+    "many": "M EH1 N IY0", "only": "OW1 N L IY0", "people": "P IY1 P AH0 L",
+    "water": "W AO1 T ER0", "because": "B IH0 K AO1 Z",
+    "through": "TH R UW1", "though": "DH OW1", "thought": "TH AO1 T",
+    "again": "AH0 G EH1 N", "against": "AH0 G EH1 N S T",
+    "world": "W ER1 L D", "work": "W ER1 K", "word": "W ER1 D",
+    "one's": "W AH1 N Z", "its": "IH1 T S", "it's": "IH1 T S",
+    "it": "IH1 T", "as": "AE1 Z", "at": "AE1 T", "or": "AO1 R",
+    "for": "F AO1 R", "nor": "N AO1 R", "so": "S OW1", "no": "N OW1",
+    "go": "G OW1", "goes": "G OW1 Z", "gone": "G AO1 N",
+    "been": "B IH1 N", "being": "B IY1 IH0 NG", "into": "IH1 N T UW0",
+    "over": "OW1 V ER0", "under": "AH1 N D ER0", "other": "AH1 DH ER0",
+    "another": "AH0 N AH1 DH ER0", "mother": "M AH1 DH ER0",
+    "father": "F AA1 DH ER0", "brother": "B R AH1 DH ER0",
+    "love": "L AH1 V", "move": "M UW1 V", "lose": "L UW1 Z",
+    "whose": "HH UW1 Z", "both": "B OW1 TH", "most": "M OW1 S T",
+    "old": "OW1 L D", "cold": "K OW1 L D", "don't": "D OW1 N T",
+    "won't": "W OW1 N T", "can't": "K AE1 N T", "says's": "S EH1 Z",
+    "early": "ER1 L IY0", "heart": "HH AA1 R T", "great": "G R EY1 T",
+    "above": "AH0 B AH1 V", "among": "AH0 M AH1 NG",
+}
+
 
 def _apply_rules(word: str) -> List[str]:
     phones: List[str] = []
@@ -97,9 +140,14 @@ def _apply_rules(word: str) -> List[str]:
 
 def rule_g2p(word: str) -> List[str]:
     """ARPAbet phones for a single word (lowercase letters only kept)."""
-    cleaned = re.sub(r"[^a-z']", "", word.lower()).replace("'", "")
+    lowered = re.sub(r"[^a-z']", "", word.lower())
+    if lowered in _COMMON_WORDS:
+        return _COMMON_WORDS[lowered].split()
+    cleaned = lowered.replace("'", "")
     if not cleaned:
         return []
+    if cleaned in _COMMON_WORDS:
+        return _COMMON_WORDS[cleaned].split()
     phones = _apply_rules(cleaned)
     # Stress: primary on the first vowel, none elsewhere; phones already
     # carrying an explicit stress digit (e.g. AH0 from -tion) keep it.
