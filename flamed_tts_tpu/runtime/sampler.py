@@ -330,10 +330,3 @@ class BucketedSampler:
                 for k, v in out.items()
             }
         return out
-
-
-def warmup_buckets(sampler: BucketedSampler, *args, **kwargs) -> None:
-    """Optionally pre-compile the common bucket signatures (not required;
-    first use compiles lazily)."""
-    # Intentionally minimal for now; compilation happens on demand.
-    return None
