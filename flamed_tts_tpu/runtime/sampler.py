@@ -223,9 +223,13 @@ class BucketedSampler:
 
         if fused:
             if frames_per_phoneme_budget is None:
-                if len(self._ratio_history) >= 4:
-                    frames_per_phoneme_budget = float(
-                        np.percentile(self._ratio_history[-64:], 95) * 1.2
+                if self._ratio_history:
+                    # p95 * margin of observed speech rates, floored so a
+                    # single fast-speech sample can't trigger an overflow
+                    # retry (which costs a fresh bucket compile).
+                    frames_per_phoneme_budget = max(
+                        float(np.percentile(self._ratio_history[-64:], 95) * 1.2),
+                        7.0,
                     )
                 else:
                     frames_per_phoneme_budget = 9.0
