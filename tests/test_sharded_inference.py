@@ -99,3 +99,37 @@ def test_fused_matches_two_stage(setup):
         np.asarray(out_two["latents"])[:, :f],
         atol=1e-5, rtol=1e-5,
     )
+
+
+def test_fused_overflow_retry():
+    """A too-small speculative bucket must trigger the overflow retry and
+    still return unclipped results (retry is guaranteed: 20 phonemes at
+    >= 1 frame each cannot fit the 16-frame first bucket)."""
+    prior, prob = tiny_modules()
+    params = tiny_params(prior, prob, jax.random.PRNGKey(0))
+    sampler = BucketedSampler(
+        prior, prob, phoneme_buckets=[32], frame_buckets=[16, 96],
+        prompt_buckets=[8],
+    )
+    rng_np = np.random.RandomState(0)
+    n_q = SMALL_PRIOR_CFG["codec"]["n_quantizers"]
+    inputs = dict(
+        phonemes=rng_np.randint(1, 300, (1, 20)).astype(np.int32),
+        src_lens=np.array([20], np.int32),
+        prompts=rng_np.randint(0, 32, (1, n_q, 6)).astype(np.int32),
+        prompt_lens=np.array([6], np.int32),
+        timbres=rng_np.randn(1, SMALL_PROB_CFG["spk_dim"]).astype(np.float32),
+    )
+    out_small = sampler.sample(
+        params["prior"], params["prob"], rng=jax.random.PRNGKey(5),
+        fused=True, frames_per_phoneme_budget=0.5,  # guess bucket = 16
+        nsteps_durgen=2, nsteps_denoiser=2, vocab_pad=32, **inputs,
+    )
+    assert out_small["latents"].shape[1] == 96  # retried at the big bucket
+    out_ref = sampler.sample(
+        params["prior"], params["prob"], rng=jax.random.PRNGKey(5),
+        fused=False, nsteps_durgen=2, nsteps_denoiser=2, vocab_pad=32, **inputs,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_small["tgt_len"]), np.asarray(out_ref["tgt_len"])
+    )
