@@ -27,6 +27,40 @@ REQUIRED_FIELDS = ("phoneme", "code", "emb", "spk", "phone_dur", "sil_dur")
 DEFAULT_SIL_PHONES = ("sil", "sp", "spn", "")
 
 
+def compute_alignment(
+    intervals,
+    sampling_rate: int,
+    down_factor: int,
+    sil_phones: Sequence[str] = DEFAULT_SIL_PHONES,
+):
+    """Phone intervals -> (phones, code-frame durations, trailing-silence
+    durations); silences fold into the preceding phone and the leading
+    bos is relabeled 'sp' (reference dataset.py:292-320)."""
+    pre_phones, pre_durations = ["bos"], [0]
+    for interval in intervals:
+        phone = interval.text or "sp"
+        start_code = interval.start_time * sampling_rate // down_factor
+        end_code = interval.end_time * sampling_rate // down_factor
+        pre_phones.append(phone if phone != "" else "sp")
+        pre_durations.append(int(end_code - start_code))
+
+    phones, phone_durations, sil_durations = [], [], []
+    for idx, phone in enumerate(pre_phones):
+        if phone in sil_phones:
+            continue
+        phones.append(phone)
+        phone_durations.append(pre_durations[idx])
+        if idx == len(pre_phones) - 1:
+            sil_durations.append(0)
+        elif pre_phones[idx + 1] in sil_phones:
+            sil_durations.append(pre_durations[idx + 1])
+        else:
+            sil_durations.append(0)
+    if phones:
+        phones[0] = "sp"
+    return phones, phone_durations, sil_durations
+
+
 def _filter_manifest(lines, dur_min, dur_max, n_words_min):
     samples, filtered, dur_total = [], [], 0.0
     for line in lines:
@@ -87,32 +121,9 @@ class TextCodesDataset:
         random.Random(seed).shuffle(self.samples)
 
     def get_alignment(self, intervals):
-        """Phone intervals -> (phones, code-frame durations, trailing-sil
-        durations), silence folded into the preceding phone
-        (reference dataset.py:292-320)."""
-        pre_phones, pre_durations = ["bos"], [0]
-        for interval in intervals:
-            phone = interval.text or "sp"
-            start_code = interval.start_time * self.sampling_rate // self.down_factor
-            end_code = interval.end_time * self.sampling_rate // self.down_factor
-            pre_phones.append(phone if phone != "" else "sp")
-            pre_durations.append(int(end_code - start_code))
-
-        phones, phone_durations, sil_durations = [], [], []
-        for idx, phone in enumerate(pre_phones):
-            if phone in self.sil_phones:
-                continue
-            phones.append(phone)
-            phone_durations.append(pre_durations[idx])
-            if idx == len(pre_phones) - 1:
-                sil_durations.append(0)
-            elif pre_phones[idx + 1] in self.sil_phones:
-                sil_durations.append(pre_durations[idx + 1])
-            else:
-                sil_durations.append(0)
-        if phones:
-            phones[0] = "sp"  # leading bos relabeled (dataset.py:318)
-        return phones, phone_durations, sil_durations
+        return compute_alignment(
+            intervals, self.sampling_rate, self.down_factor, self.sil_phones
+        )
 
     def __len__(self) -> int:
         return len(self.samples)
