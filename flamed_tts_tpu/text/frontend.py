@@ -22,11 +22,14 @@ from flamed_tts_tpu.text.numbers_norm import normalize_numbers
 _WORD_SPLIT_RE = re.compile(r"([,;.\-\?\!\s+])")
 _EMPTY_BRACE_RE = re.compile(r"\{[^\w\s]?\}")
 
-_DEFAULT_LEXICON = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "lexicon",
-    "librispeech-lexicon.txt",
+_LEXICON_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "lexicon"
 )
+_DEFAULT_LEXICON = os.path.join(_LEXICON_DIR, "librispeech-lexicon.txt")
+# Built-in core lexicon (CMUdict conventions, authored for this repo): the
+# reference ships its LibriSpeech lexicon as a large blob that is absent
+# from its release mount, so OOV coverage otherwise falls entirely to G2P.
+_BUILTIN_LEXICON = os.path.join(_LEXICON_DIR, "english-core.txt")
 
 
 def read_lexicon(lexicon_path: Optional[str] = None) -> Dict[str, List[str]]:
@@ -53,6 +56,112 @@ def read_lexicon(lexicon_path: Optional[str] = None) -> Dict[str, List[str]]:
     return lexicon
 
 
+# --- morphological inflection over lexicon stems -----------------------
+# English inflectional suffixes are phonologically regular: deriving
+# "walked" from the verified lexicon entry for "walk" is more reliable
+# than sending the whole surface form through any G2P.
+
+_VOICELESS = {"P", "T", "K", "F", "TH", "S", "SH", "CH", "HH"}
+_SIBILANT = {"S", "Z", "SH", "ZH", "CH", "JH"}
+_VOWELS = {
+    "AA", "AE", "AH", "AO", "AW", "AY", "EH", "ER", "EY",
+    "IH", "IY", "OW", "OY", "UH", "UW",
+}
+
+
+def _base(phone: str) -> str:
+    return phone.rstrip("012")
+
+
+def _plural_phones(phones: List[str]) -> List[str]:
+    last = _base(phones[-1])
+    if last in _SIBILANT:
+        return phones + ["IH0", "Z"]
+    if last in _VOICELESS:
+        return phones + ["S"]
+    return phones + ["Z"]
+
+
+def _past_phones(phones: List[str]) -> List[str]:
+    last = _base(phones[-1])
+    if last in ("T", "D"):
+        return phones + ["IH0", "D"]
+    if last in _VOICELESS:
+        return phones + ["T"]
+    return phones + ["D"]
+
+
+_SUFFIX_PHONES = {
+    "ing": ["IH0", "NG"],
+    "er": ["ER0"],
+    "est": ["AH0", "S", "T"],
+    "ly": ["L", "IY0"],
+    "ness": ["N", "AH0", "S"],
+    "ful": ["F", "AH0", "L"],
+    "less": ["L", "AH0", "S"],
+    "ment": ["M", "AH0", "N", "T"],
+    "y": ["IY0"],
+}
+
+
+def _stem_candidates(word: str, suffix: str) -> List[str]:
+    """Plausible dictionary stems for word = stem-variant + suffix."""
+    stem = word[: len(word) - len(suffix)]
+    cands = [stem]
+    if len(stem) >= 2 and stem[-1] == stem[-2]:  # stopped -> stop
+        cands.append(stem[:-1])
+    if stem and stem[-1] != "e":  # making -> make
+        cands.append(stem + "e")
+    if stem.endswith("i"):  # carried -> carry, stories -> story
+        cands.append(stem[:-1] + "y")
+    return cands
+
+
+def inflect_oov(word: str, lookup) -> Optional[List[str]]:
+    """Derive phones for an inflected form whose stem ``lookup`` knows.
+
+    ``lookup(stem) -> Optional[List[str]]``.  Returns None when no
+    (suffix, stem) decomposition hits the lexicon.
+    """
+    w = word.lower()
+    # Order matters: longest suffixes first so "-iness"/"-ingly" style
+    # stacks resolve greedily from the end.
+    # cries/carried: the stem restores -y; resolve those eagerly so a
+    # spurious shorter stem ("store" for "stories") can't shadow them.
+    for sfx, kind in (("ies", "s"), ("ied", "ed")):
+        if w.endswith(sfx) and len(w) > 4:
+            phones = lookup(w[: -len(sfx)] + "y")
+            if phones:
+                return (
+                    _plural_phones(list(phones))
+                    if kind == "s"
+                    else _past_phones(list(phones))
+                )
+    trials: List[Tuple[str, str]] = []
+    if w.endswith("es") and len(w) > 3:
+        trials.append(("es", "s"))
+    if w.endswith("s") and not w.endswith("ss") and len(w) > 2:
+        trials.append(("s", "s"))
+    if w.endswith("ed") and len(w) > 3:
+        trials.append(("ed", "ed"))
+    if w.endswith("d") and len(w) > 2:
+        trials.append(("d", "ed"))
+    for sfx in ("ing", "ness", "ment", "less", "ful", "est", "er", "ly", "y"):
+        if w.endswith(sfx) and len(w) > len(sfx) + 1:
+            trials.append((sfx, sfx))
+    for spelling, kind in trials:
+        for stem in _stem_candidates(w, spelling):
+            phones = lookup(stem)
+            if not phones:
+                continue
+            if kind == "s":
+                return _plural_phones(list(phones))
+            if kind == "ed":
+                return _past_phones(list(phones))
+            return list(phones) + _SUFFIX_PHONES[kind]
+    return None
+
+
 def _load_optional_g2p():
     try:  # pragma: no cover - exercised only when g2p_en is installed
         from g2p_en import G2p
@@ -69,15 +178,26 @@ class EnglishFrontend:
         self,
         lexicon_path: Optional[str] = None,
         cleaners: Sequence[str] = ("english_cleaners",),
+        use_builtin_lexicon: bool = True,
     ):
         self.lexicon = read_lexicon(lexicon_path)
+        # Built-in core entries fill behind the user lexicon (user wins).
+        self.builtin = read_lexicon(_BUILTIN_LEXICON) if use_builtin_lexicon else {}
         self.cleaners = list(cleaners)
         self._g2p = _load_optional_g2p()
 
-    def word_to_phones(self, word: str) -> List[str]:
+    def _lookup(self, word: str) -> Optional[List[str]]:
         key = word.lower()
-        if key in self.lexicon:
-            return list(self.lexicon[key])
+        hit = self.lexicon.get(key) or self.builtin.get(key)
+        return list(hit) if hit else None
+
+    def word_to_phones(self, word: str) -> List[str]:
+        hit = self._lookup(word)
+        if hit is not None:
+            return hit
+        derived = inflect_oov(word, self._lookup)
+        if derived is not None:
+            return derived
         if self._g2p is not None:
             return [p for p in self._g2p(word) if p != " "]
         return rule_g2p(word)
