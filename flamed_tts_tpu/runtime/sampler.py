@@ -18,6 +18,7 @@ is cached on the jit cache for the life of the process.
 
 from __future__ import annotations
 
+import warnings
 from typing import Dict, Optional, Sequence
 
 import jax
@@ -199,12 +200,24 @@ class BucketedSampler:
                 timbres = pad_b(np.asarray(timbres))
         b, l_in = phonemes.shape
         l_bucket = pick_bucket(l_in, self.phoneme_buckets)
+        if l_in > l_bucket:
+            warnings.warn(
+                f"phoneme length {l_in} exceeds the largest bucket "
+                f"{l_bucket}; input truncated (raise phoneme_buckets)",
+                stacklevel=2,
+            )
         phonemes_b = np.zeros((b, l_bucket), dtype=np.int32)
         phonemes_b[:, : min(l_in, l_bucket)] = phonemes[:, :l_bucket]
         src_lens = np.minimum(np.asarray(src_lens, dtype=np.int32), l_bucket)
 
         p_in = prompts.shape[-1]
         p_bucket = pick_bucket(p_in, self.prompt_buckets)
+        if p_in > p_bucket:
+            warnings.warn(
+                f"prompt length {p_in} frames exceeds the largest bucket "
+                f"{p_bucket}; prompt truncated (raise prompt_buckets)",
+                stacklevel=2,
+            )
         prompts_b = np.full((b, prompts.shape[1], p_bucket), vocab_pad, dtype=np.int32)
         prompts_b[:, :, : min(p_in, p_bucket)] = prompts[:, :, :p_bucket]
         prompt_lens = np.minimum(np.asarray(prompt_lens, dtype=np.int32), p_bucket)
@@ -263,6 +276,13 @@ class BucketedSampler:
             ratios = tgt_raw_h / np.maximum(np.asarray(src_lens, np.float32), 1.0)
             self._ratio_history.extend(float(r) for r in ratios)
             del self._ratio_history[:-256]  # bound long-server growth
+            if int(tgt_raw_h.max()) > self.frame_buckets[-1]:
+                warnings.warn(
+                    f"sampled target length {int(tgt_raw_h.max())} frames "
+                    f"exceeds the largest frame bucket {self.frame_buckets[-1]}; "
+                    "output clipped (raise frame_buckets)",
+                    stacklevel=2,
+                )
             if int(tgt_raw_h.max()) > f_guess and f_guess < self.frame_buckets[-1]:
                 result = call_fused(pick_bucket(int(tgt_raw_h.max()), self.frame_buckets))
                 if result[5] is not None:
@@ -299,6 +319,13 @@ class BucketedSampler:
             jnp.float32(temp_durgen),
         )
         max_needed = int(jax.device_get(tgt_len_est).max())
+        if max_needed > self.frame_buckets[-1]:
+            warnings.warn(
+                f"sampled target length {max_needed} frames exceeds the "
+                f"largest frame bucket {self.frame_buckets[-1]}; output "
+                "clipped (raise frame_buckets)",
+                stacklevel=2,
+            )
         f_bucket = pick_bucket(max_needed, self.frame_buckets)
 
         latents, hiddens, logits, tgt_len, tgt_mask, wav = self._stage2(
