@@ -159,6 +159,140 @@ def rvq_train(
     )
 
 
+# --- codec training-mode forward ------------------------------------------
+
+def analyze_train(
+    params: Dict,
+    latents: jnp.ndarray,            # (B, T, 256)
+    rng: Optional[jax.Array] = None,
+    quantizer_dropout: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, List[jnp.ndarray], jnp.ndarray]:
+    """Training-mode analysis (facodec.py:470-533 with eval_vq=False):
+    the 3 RVQ groups run their *training* path (straight-through +
+    commit/codebook losses + optional quantizer dropout) and the residual
+    group quantizes x - stop_grad(prosody + content).
+
+    Returns (quantized_sum, codes (6,B,T), commit_losses (6,),
+    quantized_buf [3 x (B,T,256)], timbre (B,256))."""
+    from flamed_tts_tpu.models.facodec.timbre import timbre_encoder_forward
+
+    rngs = jax.random.split(rng, 3) if rng is not None else (None, None, None)
+    outs = 0.0
+    codes, losses, buf = [], [], []
+    x = latents
+    for gi in range(2):  # prosody, content
+        q_out, q_codes, q_losses, per_layer = rvq_train(
+            x, params["quantizers"][gi], rngs[gi], quantizer_dropout
+        )
+        outs = outs + q_out
+        codes.append(q_codes)
+        losses.append(q_losses)
+        buf.append(per_layer.sum(0))
+    residual_in = x - jax.lax.stop_gradient(buf[0] + buf[1])
+    q_out, q_codes, q_losses, per_layer = rvq_train(
+        residual_in, params["quantizers"][2], rngs[2], quantizer_dropout
+    )
+    outs = outs + q_out
+    codes.append(q_codes)
+    losses.append(q_losses)
+    buf.append(per_layer.sum(0))
+
+    timbre = timbre_encoder_forward(params["timbre_encoder"], latents, None)
+    return (
+        outs,
+        jnp.concatenate(codes, axis=0),
+        jnp.concatenate(losses, axis=0),
+        buf,
+        timbre,
+    )
+
+
+def decoder_training_forward(
+    params: Dict,
+    heads: Dict,
+    quantized: Sequence[jnp.ndarray],   # [3 x (B, T, 256)] per-group sums
+    speaker_embedding: jnp.ndarray,     # (B, 256)
+    rng: Optional[jax.Array] = None,
+    prob_random_mask_residual: float = 0.75,
+    use_gr_residual_f0: bool = False,
+    use_gr_residual_phone: bool = False,
+    use_gr_x_timbre: bool = False,
+    up_ratios: Sequence[int] = (5, 5, 4, 2),
+) -> Dict[str, jnp.ndarray]:
+    """FACodecDecoder.forward(vq=False) — the codec *training* decode
+    (facodec.py:575-620): predictor heads on the quantized groups, random
+    residual masking with p=0.75, timbre-affine norm, synthesis stack.
+
+    No Flamed entry point trains the codec (decoder.py docstring), but the
+    reference ships this path; kept for component parity."""
+    out: Dict[str, jnp.ndarray] = {}
+    f0, uv = cnn_predictor(quantized[0], heads["f0_predictor"])
+    out["f0"], out["uv"] = f0[..., 0], uv[..., 0]
+    (out["phone"],) = cnn_predictor(quantized[1], heads["phone_predictor"])
+
+    if use_gr_residual_f0:
+        h = gradient_reversal(quantized[2], 1.0)
+        res_f0, res_uv = cnn_predictor(h, heads["res_f0_predictor"])
+        out["res_f0"], out["res_uv"] = res_f0[..., 0], res_uv[..., 0]
+    if use_gr_residual_phone:
+        h = gradient_reversal(quantized[2], 1.0)
+        (out["res_phone"],) = cnn_predictor(h, heads["res_phone_predictor"])
+
+    # Random residual masking: with prob p the whole residual group is
+    # dropped for this batch element (facodec.py:575-595).
+    if rng is not None:
+        keep = (
+            jax.random.uniform(rng, (quantized[2].shape[0], 1, 1))
+            >= prob_random_mask_residual
+        ).astype(quantized[2].dtype)
+    else:
+        keep = jnp.ones((quantized[2].shape[0], 1, 1), quantized[2].dtype)
+    x = (
+        jax.lax.stop_gradient(quantized[0])
+        + jax.lax.stop_gradient(quantized[1])
+        + quantized[2] * keep
+    )
+
+    if use_gr_x_timbre:
+        h = gradient_reversal(x, 1.0)
+        (out["x_timbre"],) = cnn_predictor(h, heads["x_timbre_predictor"], global_pred=True)
+
+    from flamed_tts_tpu.models.facodec.decoder import synthesize
+
+    out["audio"] = synthesize(params, x, speaker_embedding, up_ratios=up_ratios)
+    return out
+
+
+def init_decoder_training_heads(
+    rng: jax.Array,
+    in_channels: int = 256,
+    phone_classes: int = 5003,
+    speaker_classes: int = 245200,
+    use_gr_residual_f0: bool = False,
+    use_gr_residual_phone: bool = False,
+    use_gr_x_timbre: bool = False,
+) -> Dict:
+    """Head shapes match the reference constructor (facodec.py:436-466):
+    f0 = CNNLSTM(256, 1, 2), phone = CNNLSTM(256, 5003, 1),
+    x-timbre = CNNLSTM(256, 245200, 1, global)."""
+    keys = iter(jax.random.split(rng, 8))
+    heads = {
+        "f0_predictor": init_cnn_predictor(next(keys), in_channels, 1, 2),
+        "phone_predictor": init_cnn_predictor(next(keys), in_channels, phone_classes, 1),
+    }
+    if use_gr_residual_f0:
+        heads["res_f0_predictor"] = init_cnn_predictor(next(keys), in_channels, 1, 2)
+    if use_gr_residual_phone:
+        heads["res_phone_predictor"] = init_cnn_predictor(
+            next(keys), in_channels, phone_classes, 1
+        )
+    if use_gr_x_timbre:
+        heads["x_timbre_predictor"] = init_cnn_predictor(
+            next(keys), in_channels, speaker_classes, 1
+        )
+    return heads
+
+
 # --- style-adaptive (cln) transformer ------------------------------------
 
 def _style_adaptive_ln(x: jnp.ndarray, p: Dict, condition: jnp.ndarray) -> jnp.ndarray:
@@ -333,6 +467,66 @@ def decoder_v2_quantize(
     codes = jnp.concatenate([prosody_codes, content_codes, residual_codes], axis=0)
     timbre = timbre_encoder_forward(params["timbre_encoder"], latents, pad_mask)
     return codes, timbre
+
+
+def encoder_v2_forward(
+    params: Dict, wav: jnp.ndarray, up_ratios: Sequence[int] = (2, 4, 5, 5)
+) -> jnp.ndarray:
+    """FACodecEncoderV2.forward (facodec.py:876-880): identical conv
+    topology to V1 — only the out-channel width differs (via params)."""
+    from flamed_tts_tpu.models.facodec.encoder import encoder_forward
+
+    return encoder_forward(params, wav, up_ratios=up_ratios)
+
+
+def decoder_v2_vq2emb(params: Dict, codes: jnp.ndarray, use_residual: bool = True) -> jnp.ndarray:
+    """FACodecDecoderV2.vq2emb (facodec.py:1243-1253): same group layout
+    as V1."""
+    from flamed_tts_tpu.models.facodec.decoder import vq2emb
+
+    return vq2emb(params, codes, use_residual=use_residual)
+
+
+def decoder_v2_inference(
+    params: Dict,
+    latents: jnp.ndarray,
+    speaker_embedding: jnp.ndarray,
+    up_ratios: Sequence[int] = (5, 5, 4, 2),
+) -> jnp.ndarray:
+    """FACodecDecoderV2.inference (facodec.py:1255-1263): V1 synthesis."""
+    from flamed_tts_tpu.models.facodec.decoder import synthesize
+
+    return synthesize(params, latents, speaker_embedding, up_ratios=up_ratios)
+
+
+def v2_voice_conversion(
+    enc_params: Dict,
+    dec_params: Dict,
+    source_wav: jnp.ndarray,          # (B, T, 1)
+    target_wav: jnp.ndarray,          # (B, T', 1)
+    enc_up_ratios: Sequence[int] = (2, 4, 5, 5),
+    dec_up_ratios: Sequence[int] = (5, 5, 4, 2),
+    use_residual: bool = False,
+) -> jnp.ndarray:
+    """End-to-end V2 voice conversion (the reference assembles this from
+    FACodecEncoderV2 + FACodecDecoderV2, facodec.py:834-1285): source
+    prosody (from mel) + content codes are re-synthesized with the target
+    speaker's timbre.  Residual codes carry source-speaker detail and are
+    dropped by default."""
+    src_latents = encoder_v2_forward(enc_params, source_wav, enc_up_ratios)
+    src_prosody = encoder_v2_prosody_feature(source_wav[:, :, 0])
+    # Mel frames can overshoot the codec frame count by the centering
+    # convention; align to the latent grid as the reference data path does.
+    src_prosody = src_prosody[:, :, : src_latents.shape[1]]
+    codes, _src_spk = decoder_v2_quantize(dec_params, src_latents, src_prosody)
+
+    tgt_latents = encoder_v2_forward(enc_params, target_wav, enc_up_ratios)
+    from flamed_tts_tpu.models.facodec.timbre import timbre_encoder_forward
+
+    tgt_spk = timbre_encoder_forward(dec_params["timbre_encoder"], tgt_latents, None)
+
+    x = decoder_v2_vq2emb(dec_params, codes, use_residual=use_residual)
+    return decoder_v2_inference(dec_params, x, tgt_spk, dec_up_ratios)
 
 
 def _melspec_encode(enc_params: Dict, x: jnp.ndarray, pad_mask) -> jnp.ndarray:

@@ -81,16 +81,46 @@ def load_reference():
 
     f = f"{REF_ROOT}/flamed/models/facodec"
     _load("flamed.models.facodec.gradient_reversal", f"{f}/gradient_reversal.py")
-    # melspec needs librosa (absent) and is only used by the V2 codec
-    # variants' prosody features — stub it.
+    # melspec imports librosa (absent); re-create it with torch ops + our
+    # slaney filterbank (validated against torch STFT in
+    # tests/test_facodec_extras.py::test_melspec_matches_torch_stft) so the
+    # V2 codec variants are constructible for parity tests.
     if "flamed.models.facodec.melspec" not in sys.modules:
+        import torch
+
+        from flamed_tts_tpu.ops.melspec import mel_filterbank
+
         stub = types.ModuleType("flamed.models.facodec.melspec")
 
-        class _MelSpectrogramStub:  # pragma: no cover
-            def __init__(self, *args, **kwargs):
-                raise RuntimeError("melspec unavailable (librosa not installed)")
+        class _MelSpectrogram(torch.nn.Module):
+            """Reference melspec.py:39-102 conventions, librosa-free."""
 
-        stub.MelSpectrogram = _MelSpectrogramStub
+            def __init__(self, n_fft, num_mels, sampling_rate, hop_size,
+                         win_size, fmin, fmax, center=False):
+                super().__init__()
+                self.n_fft, self.hop_size, self.win_size = n_fft, hop_size, win_size
+                self.center = center
+                mel = mel_filterbank(sampling_rate, n_fft, num_mels, float(fmin), float(fmax))
+                self.register_buffer("mel_basis", torch.from_numpy(mel).float())
+                self.register_buffer("hann_window", torch.hann_window(win_size))
+
+            def forward(self, y):
+                pad = int((self.n_fft - self.hop_size) / 2)
+                y = torch.nn.functional.pad(
+                    y.unsqueeze(1), (pad, pad), mode="reflect"
+                ).squeeze(1)
+                spec = torch.stft(
+                    y, self.n_fft, hop_length=self.hop_size,
+                    win_length=self.win_size, window=self.hann_window,
+                    center=self.center, pad_mode="reflect", normalized=False,
+                    onesided=True, return_complex=True,
+                )
+                spec = torch.view_as_real(spec)
+                spec = torch.sqrt(spec.pow(2).sum(-1) + 1e-9)
+                spec = torch.matmul(self.mel_basis, spec)
+                return torch.log(torch.clamp(spec, min=1e-5))
+
+        stub.MelSpectrogram = _MelSpectrogram
         sys.modules["flamed.models.facodec.melspec"] = stub
     aft = f"{f}/alias_free_torch"
     _load("flamed.models.facodec.alias_free_torch.filter", f"{aft}/filter.py")

@@ -123,3 +123,95 @@ def test_redecoder_voice_conversion():
     wav = redecoder_forward(params, codes, spk, up_ratios=(2, 2, 2, 2))
     assert wav.shape == (1, 10 * 16, 1)
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_decoder_training_forward_parity():
+    """FACodecDecoder.forward(vq=False) — training decode with predictor
+    heads + residual masking (facodec.py:509-620) vs the reference."""
+    torch = pytest.importorskip("torch")
+    from tests.reference_loader import load_reference
+    from tools.convert_torch_ckpt import (
+        convert_decoder_training_heads,
+        convert_facodec_decoder,
+    )
+    from flamed_tts_tpu.models.facodec.extras import decoder_training_forward
+
+    ref = load_reference()
+    torch.manual_seed(11)
+    # use_gr_x_timbre stays off: its 245200-way head is too heavy for CPU CI
+    dec = ref.facodec.FACodecDecoder(
+        in_channels=256,
+        upsample_initial_channel=64,
+        ngf=8,
+        up_ratios=[2, 2, 2, 2],
+        vq_num_q_c=2, vq_num_q_p=1, vq_num_q_r=3,
+        vq_dim=256, codebook_dim=8,
+        codebook_size_prosody=3, codebook_size_content=3, codebook_size_residual=3,
+        use_gr_residual_f0=True,
+        use_gr_residual_phone=True,
+        use_gr_x_timbre=False,
+        use_random_mask_residual=False,
+    )
+    dec = dec.eval()
+    params = convert_facodec_decoder(dec.state_dict())
+    heads = convert_decoder_training_heads(dec.state_dict())
+
+    rng = np.random.RandomState(3)
+    b, t = 2, 32
+    quant_t = [torch.from_numpy(rng.randn(b, 256, t).astype(np.float32)) for _ in range(3)]
+    spk_t = torch.from_numpy(rng.randn(b, 256).astype(np.float32))
+    with torch.no_grad():
+        out_ref = dec(
+            None, vq=False, quantized=quant_t, speaker_embedding=spk_t
+        )
+
+    out = decoder_training_forward(
+        params, heads,
+        [jnp.asarray(q.numpy().transpose(0, 2, 1)) for q in quant_t],
+        jnp.asarray(spk_t.numpy()),
+        rng=None,  # mask disabled: keep all residuals (ref use_random_mask_residual=False)
+        prob_random_mask_residual=0.0,
+        use_gr_residual_f0=True,
+        use_gr_residual_phone=True,
+        up_ratios=(2, 2, 2, 2),
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(out["f0"]), out_ref["f0"].numpy(), atol=2e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["uv"]), out_ref["uv"].numpy(), atol=2e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["phone"]), out_ref["phone"].numpy(), atol=2e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["res_f0"]), out_ref["res_f0"].numpy(), atol=2e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["res_phone"]), out_ref["res_phone"].numpy(), atol=2e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["audio"])[:, :, 0], out_ref["audio"].numpy()[:, 0, :],
+        atol=5e-3, rtol=1e-3,
+    )
+
+
+def test_analyze_train_matches_eval_codes():
+    """With dropout off, the training analysis path must produce the same
+    codes as the eval path (straight-through only changes gradients)."""
+    import jax
+    from flamed_tts_tpu.models.facodec.decoder import analyze, init_decoder_params
+    from flamed_tts_tpu.models.facodec.extras import analyze_train
+
+    params = init_decoder_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 256))
+    codes_eval, timbre_eval = analyze(params, x)
+    outs, codes, losses, buf, timbre = analyze_train(params, x, rng=None)
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(codes_eval))
+    np.testing.assert_allclose(
+        np.asarray(timbre), np.asarray(timbre_eval), atol=1e-6
+    )
+    assert losses.shape == (6,)
+    assert np.isfinite(np.asarray(losses)).all()
+    assert len(buf) == 3 and buf[0].shape == (2, 16, 256)

@@ -172,6 +172,60 @@ def convert_facodec_decoder(sd: Dict) -> Dict[str, Any]:
     return params
 
 
+def convert_cnn_predictor(sd: Dict, prefix: str, n_heads: int) -> Dict[str, Any]:
+    """CNNLSTM head (facodec.py:35-54): 3 residual units + Activation1d +
+    Linear heads.  ``prefix`` addresses the CNNLSTM module itself (add
+    '.1' for GradientReversal-wrapped heads)."""
+    return {
+        "res": [_res_unit(sd, f"{prefix}.model.{j}") for j in range(3)],
+        "act": _act(sd, f"{prefix}.model.3.act"),
+        "heads": [
+            {
+                "w": _np(sd[f"{prefix}.heads.{i}.weight"]).astype(np.float32),
+                "b": _np(sd[f"{prefix}.heads.{i}.bias"]).astype(np.float32),
+            }
+            for i in range(n_heads)
+        ],
+    }
+
+
+def convert_decoder_training_heads(sd: Dict, phone_classes: int = 5003) -> Dict[str, Any]:
+    """Predictor heads of FACodecDecoder(.V2) for the training forward
+    (facodec.py:436-466); GR-wrapped heads live under '<name>.1'."""
+    heads = {
+        "f0_predictor": convert_cnn_predictor(sd, "f0_predictor", 2),
+        "phone_predictor": convert_cnn_predictor(sd, "phone_predictor", 1),
+    }
+    for name, n in (
+        ("res_f0_predictor", 2),
+        ("res_phone_predictor", 1),
+        ("x_timbre_predictor", 1),
+    ):
+        if f"{name}.1.heads.0.bias" in sd:
+            heads[name] = convert_cnn_predictor(sd, f"{name}.1", n)
+    return heads
+
+
+def convert_facodec_encoder_v2(sd: Dict) -> Dict[str, Any]:
+    """FACodecEncoderV2 (facodec.py:834-907): identical conv topology to
+    V1 (stem + 4 EncoderBlocks + Activation1d + out conv); the
+    mel_transform has no parameters."""
+    return convert_facodec_encoder(sd)
+
+
+def convert_facodec_decoder_v2(sd: Dict) -> Dict[str, Any]:
+    """FACodecDecoderV2 (facodec.py:910-1285): V1 layout plus the
+    prosody-from-mel branch (melspec_linear 20->256 + 4-layer transformer
+    encoder)."""
+    params = convert_facodec_decoder(sd)
+    params["melspec_linear"] = {
+        "w": _np(sd["melspec_linear.weight"]).astype(np.float32),
+        "b": _np(sd["melspec_linear.bias"]).astype(np.float32),
+    }
+    params["melspec_encoder"] = _timbre_encoder(sd, "melspec_encoder")
+    return params
+
+
 # ----- Flamed model checkpoint ------------------------------------------
 
 
