@@ -105,23 +105,18 @@ def _pick_tile(t_len: int, c: int) -> int:
     return int(min(tile, t_cap))
 
 
-def snake_filtered_pallas(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
-    """Fused Activation1d, bit-matching ops/resample.py::snake_filtered."""
-    b, t_len, c = x.shape
+def _run_grid(xp: jnp.ndarray, t_out: int, c: int, ab: jnp.ndarray) -> jnp.ndarray:
+    """Run the tiled kernel over ``xp`` (B, >= t_out + 12, c) whose rows
+    [0, t_out + 12) hold the (halo-included) input; returns (B, t_out, c)."""
     taps = _filters()
-    tile = _pick_tile(t_len, c)
-    n_tiles = -(-t_len // tile)
-    t_pad = n_tiles * tile
-
-    # Edge-pad by 6 (halo), then right-pad so n_tiles+1 whole blocks exist
-    # (the last tile's halo reads the start of a zero block).
-    xp = jnp.pad(x, ((0, 0), (6, 6), (0, 0)), mode="edge")
+    tile = _pick_tile(t_out, c)
+    n_tiles = -(-t_out // tile)
+    # Right-pad with zeros so n_tiles+1 whole blocks exist (the last
+    # tile's halo reads the start of a zero block).
     xp = jnp.pad(xp, ((0, 0), (0, (n_tiles + 1) * tile - xp.shape[1]), (0, 0)))
-    ab = jnp.stack([jnp.broadcast_to(alpha, (c,)), jnp.broadcast_to(beta, (c,))])
-
     kern = partial(_kernel, tile=tile, taps=taps)
 
-    def one(x_i):
+    def one(x_i, ab_i):
         return pl.pallas_call(
             kern,
             grid=(n_tiles,),
@@ -133,26 +128,72 @@ def snake_filtered_pallas(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray)
             out_specs=pl.BlockSpec(
                 (tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((n_tiles * tile, c), x.dtype),
-        )(x_i, x_i, ab)
+            out_shape=jax.ShapeDtypeStruct((n_tiles * tile, c), xp.dtype),
+        )(x_i, x_i, ab_i)
 
-    z = jax.vmap(one)(xp)[:, :t_len, :]
+    return jax.vmap(one, in_axes=(0, None))(xp, ab)[:, :t_out, :]
 
-    # Exact boundary patch (<=3 frames each end), computed on small
-    # windows so the patch itself stays off the slow XLA FIR path.
-    if t_len <= 38:
-        n_edge = min(3, t_len)
-        head = _exact_edge_rows(x, alpha, beta, range(n_edge), t_len)
+
+def _edge_patch(z, x, alpha, beta, t_len, n_tail=3):
+    """Replace the global edge rows with the exact interleave-clip values."""
+    n_head = min(3, t_len)
+    n_tail = min(n_tail, t_len - n_head) if t_len > n_head else 0
+    if t_len <= 19 + n_tail:
+        head = _exact_edge_rows(x, alpha, beta, range(n_head), t_len)
         tail = _exact_edge_rows(
-            x, alpha, beta, range(max(t_len - n_edge, 0), t_len), t_len
+            x, alpha, beta, range(max(t_len - n_tail, 0), t_len), t_len
         )
     else:
-        w = 19
+        w = 19 + n_tail
         # Rows 0..2 only reach phase indices < 2w-1 (no right clip), and
-        # rows t_len-3.. only reach indices > 0 of the right window.
-        head = _exact_edge_rows(x[:, :w, :], alpha, beta, range(3), w)
-        tail = _exact_edge_rows(x[:, -w:, :], alpha, beta, range(w - 3, w), w)
-    z = jnp.concatenate(
+        # the last n_tail rows only reach indices > 0 of the right window.
+        head = _exact_edge_rows(x[:, :w, :], alpha, beta, range(n_head), w)
+        tail = _exact_edge_rows(
+            x[:, -w:, :], alpha, beta, range(w - n_tail, w), w
+        )
+    return jnp.concatenate(
         [head, z[:, head.shape[1] : t_len - tail.shape[1], :], tail], axis=1
     )
-    return z
+
+
+def snake_filtered_pallas(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
+    """Fused Activation1d, bit-matching ops/resample.py::snake_filtered.
+
+    For c <= 64 the time axis is split into ``128 // c`` chunks laid side
+    by side in the lane dimension (halos baked in), so the VPU runs at
+    full 128-lane width; each output element sees the identical fp32 op
+    sequence, so numerics are unchanged.
+    """
+    b, t_len, c = x.shape
+    fold = 128 // c if (c <= 64 and 128 % c == 0) else 1
+
+    if fold > 1 and t_len >= 4 * fold:
+        t_c = -(-t_len // fold)
+        t_pad = t_c * fold
+        # Replicate-pad: 6-halo left, 6-halo + chunk alignment right.
+        xe = jnp.pad(
+            x, ((0, 0), (6, 6 + t_pad - t_len), (0, 0)), mode="edge"
+        )
+        chunks = [
+            jax.lax.dynamic_slice_in_dim(xe, j * t_c, t_c + 12, 1)
+            for j in range(fold)
+        ]
+        xpk = jnp.concatenate(chunks, axis=-1)  # (B, t_c + 12, fold*c)
+        ab = jnp.stack(
+            [
+                jnp.tile(jnp.broadcast_to(alpha, (c,)), fold),
+                jnp.tile(jnp.broadcast_to(beta, (c,)), fold),
+            ]
+        )
+        zpk = _run_grid(xpk, t_c, fold * c, ab)
+        z = jnp.concatenate(
+            [zpk[:, :, j * c : (j + 1) * c] for j in range(fold)], axis=1
+        )[:, :t_len, :]
+        # The padded tail rows fed edge-replicated values into the last
+        # few real outputs; widen the exact tail patch to cover them.
+        return _edge_patch(z, x, alpha, beta, t_len, n_tail=3 + (t_pad - t_len))
+
+    xp = jnp.pad(x, ((0, 0), (6, 6), (0, 0)), mode="edge")
+    ab = jnp.stack([jnp.broadcast_to(alpha, (c,)), jnp.broadcast_to(beta, (c,))])
+    z = _run_grid(xp, t_len, c, ab)
+    return _edge_patch(z, x, alpha, beta, t_len)

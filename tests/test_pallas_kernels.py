@@ -58,7 +58,10 @@ def test_fused_snake_resample_matches_xla():
     import flamed_tts_tpu.ops.pallas_resample as pr
 
     rng = np.random.RandomState(3)
-    for t_len, c in [(20, 8), (300, 16)]:
+    # (300, 16)/(511, 32)/(257, 64) exercise the lane-packed fold path
+    # (fold = 128 // c) including non-divisible lengths; (20, 8) falls
+    # back to the unpacked path; (130, 128) is full-lane unpacked.
+    for t_len, c in [(20, 8), (300, 16), (511, 32), (257, 64), (130, 128)]:
         x = jnp.asarray(rng.randn(2, t_len, c).astype(np.float32))
         a = jnp.asarray((rng.randn(c) * 0.1).astype(np.float32))
         b = jnp.asarray((rng.randn(c) * 0.1).astype(np.float32))
