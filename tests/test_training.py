@@ -159,3 +159,40 @@ def test_dp_equals_single_device():
         float(metrics_mesh["total_loss"]),
         rtol=1e-4,
     )
+
+
+def test_tp_equals_replicated():
+    """Tensor-parallel (model-axis) sharding must not change the math:
+    the 4x2 (data x model) step's loss, grad norm, and updated parameters
+    equal the 8x1 pure-DP run (same rng, same batch) — VERDICT round-1
+    item 10 (the dryrun only checked the TP loss was finite)."""
+    prior, prob = tiny_modules()
+    params = tiny_params(prior, prob, jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(OPT_CFG)
+    step_fn = make_train_step(prior, prob, tx)
+    batch_np = tiny_batch(b=8)
+    rng = jax.random.PRNGKey(9)
+
+    results = {}
+    for tag, (n_data, n_model) in {"dp": (8, 1), "tp": (4, 2)}.items():
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        # fresh buffers: the jitted step donates the state, which would
+        # otherwise delete the shared params between the two runs
+        state = init_train_state(jax.tree.map(jnp.array, params), tx)
+        with mesh:
+            jitted, state = jit_train_step_on_mesh(step_fn, state, mesh)
+            state, metrics = jitted(state, shard_batch(batch_np, mesh), rng)
+        results[tag] = (
+            float(metrics["total_loss"]),
+            float(metrics["grad_norm"]),
+            jax.device_get(state.params),
+        )
+
+    np.testing.assert_allclose(results["dp"][0], results["tp"][0], rtol=2e-5)
+    np.testing.assert_allclose(results["dp"][1], results["tp"][1], rtol=2e-4)
+    flat_dp, _ = jax.tree_util.tree_flatten(results["dp"][2])
+    flat_tp, _ = jax.tree_util.tree_flatten(results["tp"][2])
+    for a, b in zip(flat_dp, flat_tp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4
+        )
