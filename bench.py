@@ -58,6 +58,7 @@ def main() -> None:
     codec = FaCodec.random_init(jax.random.PRNGKey(1))
     if precision == "bf16":
         model.cast_inference_params()
+        codec.cast_inference_params()
 
     # 3 s prompt at 16 kHz
     t_axis = np.arange(3 * 16000) / 16000.0

@@ -85,6 +85,21 @@ class FaCodec:
 
     # --- inference -------------------------------------------------------
 
+    def cast_inference_params(self, dtype=None) -> None:
+        """Cast float codec parameters (bf16 halves HBM weight traffic in
+        the conv stacks; the Snake/FIR kernel computes in fp32 either way).
+        Quality cost is bounded by the bench's fixed-seed mel-distance
+        check (tests/test_bf16_quality.py)."""
+        dtype = dtype or jnp.bfloat16
+
+        def cast(x):
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+                return x.astype(dtype)
+            return x
+
+        self.enc_params = jax.tree.map(cast, self.enc_params)
+        self.dec_params = jax.tree.map(cast, self.dec_params)
+
     def encode_prompt(self, wav: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Prompt wav (T,) float32 -> (codes (n_q, T'), timbre (256,)).
 

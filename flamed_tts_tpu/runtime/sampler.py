@@ -111,7 +111,11 @@ class BucketedSampler:
         if decode_audio:
             from flamed_tts_tpu.models.facodec.decoder import synthesize
 
-            wav = synthesize(dec_params, latents, timbres)
+            # fp32 on the wire regardless of param precision (hosts write
+            # float WAVs; numpy has no native bf16)
+            wav = synthesize(
+                dec_params, latents, timbres.astype(latents.dtype)
+            ).astype(jnp.float32)
         return latents, hiddens, logits, tgt_len, tgt_mask, wav
 
     def _fused_impl(
