@@ -52,6 +52,30 @@ def word_error_rate(ref: str, hyp: str) -> float:
     return _levenshtein(ref_words, hyp_words) / len(ref_words)
 
 
+def mel_stats_embedding(wav: np.ndarray) -> np.ndarray:
+    """Self-contained speaker embedding independent of the synthesis
+    codec: per-band statistics of the log-mel spectrogram (mean, std,
+    delta-mean, delta-std over time -> 320-d).  A classic spectral-
+    statistics speaker representation — far weaker than a trained
+    verifier, but it does not share parameters with the model under test,
+    so codec-specific artifacts can't inflate the similarity
+    (VERDICT round-1 weak item 6)."""
+    import jax.numpy as jnp
+
+    from flamed_tts_tpu.ops.melspec import mel_spectrogram
+
+    mel = np.asarray(mel_spectrogram(jnp.asarray(wav[None, :])))[0]  # (80, T)
+    delta = np.diff(mel, axis=1) if mel.shape[1] > 1 else np.zeros_like(mel)
+    feats = np.concatenate(
+        [mel.mean(1), mel.std(1), delta.mean(1), delta.std(1)]
+    )
+    return feats.astype(np.float32)
+
+
+def _cosine(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.dot(a, b) / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-9))
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--synth-dir", required=True)
@@ -94,7 +118,7 @@ def main() -> None:
             target, prompt, text = line.split("|", 2)
             entries.append((target, prompt, text))
 
-    sims, mel_l2s, wers, durations = [], [], [], []
+    sims, sims_mel, mel_l2s, wers, durations = [], [], [], [], []
     n_missing = 0
     for target, prompt, text in entries:
         synth_path = os.path.join(args.synth_dir, target)
@@ -106,13 +130,14 @@ def main() -> None:
 
         prompt_path = prompt if os.path.isabs(prompt) else os.path.join(args.prompt_dir, prompt)
         if os.path.isfile(prompt_path):
-            _, t_prompt = codec.encode_prompt(load_wav(prompt_path))
+            prompt_wav = load_wav(prompt_path)
+            _, t_prompt = codec.encode_prompt(prompt_wav)
             _, t_synth = codec.encode_prompt(synth)
-            cos = float(
-                np.dot(t_prompt, t_synth)
-                / max(np.linalg.norm(t_prompt) * np.linalg.norm(t_synth), 1e-9)
+            sims.append(_cosine(t_prompt, t_synth))
+            # independent embedder: spectral statistics, no shared params
+            sims_mel.append(
+                _cosine(mel_stats_embedding(prompt_wav), mel_stats_embedding(synth))
             )
-            sims.append(cos)
 
         if args.ref_dir:
             ref_path = os.path.join(args.ref_dir, target)
@@ -135,6 +160,7 @@ def main() -> None:
         "n_missing": n_missing,
         "avg_duration_sec": round(float(np.mean(durations)), 3) if durations else None,
         "speaker_similarity": round(float(np.mean(sims)), 4) if sims else None,
+        "speaker_similarity_melstats": round(float(np.mean(sims_mel)), 4) if sims_mel else None,
         "mel_l2": round(float(np.mean(mel_l2s)), 4) if mel_l2s else None,
         "wer": round(float(np.mean(wers)), 4) if wers else None,
     }
