@@ -31,6 +31,10 @@ def conv1d(
 ) -> jnp.ndarray:
     if isinstance(padding, int):
         padding = (padding, padding)
+    if x.dtype != weight.dtype:
+        # The param dtype is the precision knob (cast_inference_params);
+        # activations follow it so a bf16-cast codec accepts fp32 inputs.
+        x = x.astype(weight.dtype)
     rhs = jnp.transpose(weight, (2, 1, 0))  # (K, I/g, O) == WIO
     out = jax.lax.conv_general_dilated(
         x,
@@ -61,6 +65,8 @@ def conv_transpose1d(
     in/out channel roles per group, dilate the input by ``stride``.
     """
     c_in, c_out_per_g, k = weight.shape
+    if x.dtype != weight.dtype:
+        x = x.astype(weight.dtype)  # param dtype wins (see conv1d)
     w = jnp.flip(weight, axis=-1)
     w = w.reshape(groups, c_in // groups, c_out_per_g, k)
     w = jnp.transpose(w, (0, 2, 1, 3))  # (g, O/g, I/g, K)
