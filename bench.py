@@ -91,7 +91,12 @@ def main() -> None:
             rng=jax.random.PRNGKey(seed),
         )
 
-    warm = run(0)  # compile every touched bucket
+    # Warm until the speculative frame bucket stabilizes: the first run
+    # seeds the frames/phoneme history, which can shift the fused
+    # program's bucket (a fresh ~40 s compile) on the SECOND call — so a
+    # single warmup run would leave compiles inside the timed section.
+    for seed in range(3):
+        run(seed)
     times, seconds = [], []
     for seed in range(1, 4):
         t0 = time.time()
