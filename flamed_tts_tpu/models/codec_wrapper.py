@@ -123,9 +123,10 @@ class FaCodec:
             self.enc_params, self.dec_params,
             jnp.asarray(padded)[None, :, None], pad_mask,
         )
-        codes = np.asarray(jax.device_get(codes))[:, 0, :n_frames]
-        timbre = np.asarray(jax.device_get(timbre))[0]
-        return codes, timbre
+        # One RPC for both outputs: each device_get costs a ~25 ms tunnel
+        # round trip here.
+        codes_h, timbre_h = jax.device_get((codes, timbre))
+        return np.asarray(codes_h)[:, 0, :n_frames], np.asarray(timbre_h)[0]
 
     def decode(self, latents: jnp.ndarray, timbre: jnp.ndarray) -> jnp.ndarray:
         """latents (B, T, 256) + timbre (B, 256) -> wav (B, T*hop_dec, 1)."""

@@ -268,13 +268,17 @@ class BucketedSampler:
                 )
 
             result = call_fused(f_guess)
-            # One RPC fetches overflow indicator + final outputs together.
+            # One RPC fetches overflow indicator + final outputs together
+            # (tgt_mask rides along: a separate fetch later would cost
+            # another ~25 ms tunnel round trip).
             if result[5] is not None:
-                tgt_raw_h, tgt_len_h, wav_h = jax.device_get(
-                    (result[6], result[3], result[5])
+                tgt_raw_h, tgt_len_h, tgt_mask_h, wav_h = jax.device_get(
+                    (result[6], result[3], result[4], result[5])
                 )
             else:
-                tgt_raw_h, tgt_len_h = jax.device_get((result[6], result[3]))
+                tgt_raw_h, tgt_len_h, tgt_mask_h = jax.device_get(
+                    (result[6], result[3], result[4])
+                )
                 wav_h = None
             # Record the observed speech rate for future bucket guesses.
             ratios = tgt_raw_h / np.maximum(np.asarray(src_lens, np.float32), 1.0)
@@ -290,18 +294,18 @@ class BucketedSampler:
             if int(tgt_raw_h.max()) > f_guess and f_guess < self.frame_buckets[-1]:
                 result = call_fused(pick_bucket(int(tgt_raw_h.max()), self.frame_buckets))
                 if result[5] is not None:
-                    _, tgt_len_h, wav_h = jax.device_get(
-                        (result[6], result[3], result[5])
+                    _, tgt_len_h, tgt_mask_h, wav_h = jax.device_get(
+                        (result[6], result[3], result[4], result[5])
                     )
                 else:
-                    tgt_len_h = jax.device_get(result[3])
-            latents, hiddens, logits, _, tgt_mask, _, _ = result
+                    tgt_len_h, tgt_mask_h = jax.device_get((result[3], result[4]))
+            latents, hiddens, logits, _, _, _, _ = result
             out = {
                 "latents": latents,
                 "prior_embs": hiddens,
                 "prior_logits": logits,
                 "tgt_len": tgt_len_h,
-                "tgt_mask": tgt_mask,
+                "tgt_mask": tgt_mask_h,
                 "frame_bucket": latents.shape[1],
             }
             if wav_h is not None:
