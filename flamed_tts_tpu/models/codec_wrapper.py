@@ -100,6 +100,20 @@ class FaCodec:
         self.enc_params = jax.tree.map(cast, self.enc_params)
         self.dec_params = jax.tree.map(cast, self.dec_params)
 
+    def pad_prompt_wav(self, wav: np.ndarray) -> Tuple[np.ndarray, int]:
+        """Prompt wav (T,) -> (second-bucket padded wav, true frame count).
+
+        The padding contract matches encode_prompt below; used by the
+        single-call sampling path (runtime/sampler.py::_fused_prompt_impl)
+        which runs encode+analyze inside the fused program."""
+        wav = np.asarray(wav, dtype=np.float32).squeeze()
+        n = wav.shape[-1]
+        n_seconds = max(1, int(np.ceil(n / self.sr)))
+        bucket_s = pick_bucket(n_seconds, DEFAULT_WAV_SECOND_BUCKETS)
+        padded = np.zeros(bucket_s * self.sr, dtype=np.float32)
+        padded[: min(n, len(padded))] = wav[: len(padded)]
+        return padded, n // self.hop
+
     def encode_prompt(self, wav: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Prompt wav (T,) float32 -> (codes (n_q, T'), timbre (256,)).
 
@@ -108,14 +122,7 @@ class FaCodec:
         sliced off (boundary effect limited to ~1 frame — see
         models/facodec/encoder.py docstring).
         """
-        wav = np.asarray(wav, dtype=np.float32).squeeze()
-        n = wav.shape[-1]
-        n_seconds = max(1, int(np.ceil(n / self.sr)))
-        bucket_s = pick_bucket(n_seconds, DEFAULT_WAV_SECOND_BUCKETS)
-        padded = np.zeros(bucket_s * self.sr, dtype=np.float32)
-        padded[: min(n, len(padded))] = wav[: len(padded)]
-
-        n_frames = n // self.hop
+        padded, n_frames = self.pad_prompt_wav(wav)
         pad_mask = mask_from_lengths(
             jnp.asarray([n_frames], dtype=jnp.int32), len(padded) // self.hop
         )

@@ -196,6 +196,8 @@ class Flamed:
             if ids.ndim == 1:
                 ids = ids[None, :]
 
+        prompt_wav = prompt_frames = None
+        prompts = timbres = None
         if prompt_raw is not None:
             if codec is None:
                 raise ValueError("`codec` must be provided with `prompt_raw`")
@@ -203,9 +205,12 @@ class Flamed:
                 from flamed_tts_tpu.utils.audio import load_wav
 
                 prompt_raw = load_wav(prompt_raw, sr=sr)
-            codes, timbre_vec = codec.encode_prompt(np.asarray(prompt_raw))
-            prompts = codes[None, :, :]
-            timbres = timbre_vec[None, :]
+            # Single-call path: prompt encode+analyze compiles into the
+            # fused sampling program (a separate encode_prompt call costs
+            # a ~25 ms tunnel dispatch round trip).
+            padded, n_frames = codec.pad_prompt_wav(np.asarray(prompt_raw))
+            prompt_wav = padded[None, :]
+            prompt_frames = np.asarray([n_frames], dtype=np.int32)
         else:
             if timbre is None:
                 raise ValueError("`timbre` must be provided along with `prompt_processed`!")
@@ -220,8 +225,13 @@ class Flamed:
             phonemes=ids,
             src_lens=np.full((ids.shape[0],), ids.shape[-1], dtype=np.int32),
             prompts=prompts,
-            prompt_lens=np.full((prompts.shape[0],), prompts.shape[-1], dtype=np.int32),
+            prompt_lens=(
+                None if prompts is None
+                else np.full((prompts.shape[0],), prompts.shape[-1], dtype=np.int32)
+            ),
             timbres=timbres,
+            prompt_wav=prompt_wav,
+            prompt_frames=prompt_frames,
             codec=codec,
             temp_durgen=temp_durgen,
             temp_denoiser=temp_denoiser,
@@ -241,9 +251,11 @@ class Flamed:
         self,
         phonemes: np.ndarray,
         src_lens: np.ndarray,
-        prompts: np.ndarray,
-        timbres: np.ndarray,
+        prompts: Optional[np.ndarray] = None,
+        timbres: Optional[np.ndarray] = None,
         prompt_lens: Optional[np.ndarray] = None,
+        prompt_wav: Optional[np.ndarray] = None,
+        prompt_frames: Optional[np.ndarray] = None,
         codec: Optional[FaCodec] = None,
         temp_durgen: float = 0.3,
         temp_denoiser: float = 0.3,
@@ -268,7 +280,9 @@ class Flamed:
         start_time = time.time()
         if rng is None:
             rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
-        if prompt_lens is None:
+        if prompt_wav is None and prompts is None:
+            raise ValueError("provide either prompts(+timbres) or prompt_wav")
+        if prompt_wav is None and prompt_lens is None:
             prompt_lens = np.full((prompts.shape[0],), prompts.shape[-1], dtype=np.int32)
 
         out = self.sampler.sample(
@@ -276,10 +290,13 @@ class Flamed:
             self.params["prob"],
             np.asarray(phonemes),
             np.asarray(src_lens),
-            np.asarray(prompts),
-            np.asarray(prompt_lens),
-            np.asarray(timbres, dtype=np.float32),
+            None if prompts is None else np.asarray(prompts),
+            None if prompt_lens is None else np.asarray(prompt_lens),
+            None if timbres is None else np.asarray(timbres, dtype=np.float32),
             rng,
+            prompt_wav=prompt_wav,
+            prompt_frames=prompt_frames,
+            codec=codec,
             nsteps_durgen=nsteps_durgen,
             nsteps_denoiser=nsteps_denoiser,
             temp_durgen=temp_durgen,
@@ -302,7 +319,7 @@ class Flamed:
         }
         if "wav" in out and out["wav"] is not None:
             outputs["wav"] = np.asarray(out["wav"])
-        elif codec is not None:
+        elif codec is not None and timbres is not None:
             wav = codec.decode(out["latents"], jnp.asarray(timbres, dtype=jnp.float32))
             outputs["wav"] = np.asarray(jax.device_get(wav))
         else:

@@ -61,6 +61,9 @@ class BucketedSampler:
         self._stage1 = jax.jit(self._stage1_impl, static_argnums=(4,))
         self._stage2 = jax.jit(self._stage2_impl, static_argnums=(8, 9, 14))
         self._fused = jax.jit(self._fused_impl, static_argnums=(9, 10, 11, 14))
+        self._fused_p = jax.jit(
+            self._fused_prompt_impl, static_argnums=(9, 10, 11, 12, 15, 16, 17)
+        )
 
     # --- stage 1: encode + duration/silence flow ------------------------
 
@@ -155,6 +158,61 @@ class BucketedSampler:
         )
         return latents, hiddens, logits, tgt_len, tgt_mask, wav, tgt_len_raw
 
+    def _fused_prompt_impl(
+        self,
+        prior_params,
+        prob_params,
+        dec_params,
+        enc_params,
+        wav,            # (B, T_wav, 1) second-bucket-padded prompt audio
+        wav_frames,     # (B,) true prompt frame counts
+        phonemes,
+        src_lens,
+        rng,
+        hop,            # static: codec hop (samples per frame)
+        up_ratios_enc,  # static tuple
+        p_bucket,       # static: prompt code bucket fed to the prior
+        max_frames,     # static (speculative bucket)
+        temp_durgen,
+        temp_denoiser,
+        nfe_durgen,     # static
+        nfe_denoiser,   # static
+        vocab_pad=1024,
+    ):
+        """ONE device call for the whole pipeline *including* prompt
+        encode+analyze (the separate encode_prompt call costs a ~25 ms
+        tunnel dispatch).  Mirrors FaCodec.encode_prompt's semantics:
+        codes beyond the true frame count become ``vocab_pad``, timbre is
+        masked mean-pooled (codec_wrapper.py:103-129)."""
+        from flamed_tts_tpu.models.facodec.decoder import analyze
+        from flamed_tts_tpu.models.facodec.encoder import encoder_forward
+
+        n_frames_total = wav.shape[1] // hop
+        pad_mask = mask_from_lengths(wav_frames, n_frames_total)
+        latents = encoder_forward(enc_params, wav, up_ratios=up_ratios_enc)
+        codes, timbre = analyze(dec_params, latents, pad_mask)
+        prompts = jnp.transpose(codes, (1, 0, 2))  # (B, n_q, T')
+        if p_bucket <= n_frames_total:
+            prompts = prompts[:, :, :p_bucket]
+        else:
+            prompts = jnp.pad(
+                prompts, ((0, 0), (0, 0), (0, p_bucket - n_frames_total))
+            )
+        slot = jnp.arange(p_bucket, dtype=jnp.int32)[None, None, :]
+        prompts = jnp.where(
+            slot < wav_frames[:, None, None], prompts, vocab_pad
+        )
+        prompt_lens = jnp.minimum(wav_frames, p_bucket)
+        timbres = timbre.astype(jnp.float32)
+
+        result = self._fused_impl(
+            prior_params, prob_params, dec_params,
+            phonemes, src_lens, prompts, prompt_lens,
+            timbres, rng, max_frames, nfe_durgen, nfe_denoiser,
+            temp_durgen, temp_denoiser, True,
+        )
+        return result
+
     # --- public API ------------------------------------------------------
 
     def sample(
@@ -176,6 +234,9 @@ class BucketedSampler:
         dec_params=None,
         fused: bool = True,
         frames_per_phoneme_budget: Optional[float] = None,
+        prompt_wav: Optional[np.ndarray] = None,   # (B, T_wav) padded audio
+        prompt_frames: Optional[np.ndarray] = None,  # (B,) true frame counts
+        codec=None,   # FaCodec — required with prompt_wav (enc params/hop)
     ) -> Dict[str, jnp.ndarray]:
         """Bucketed sampling; with ``mesh`` given, the utterance batch is
         sharded over the mesh's 'data' axis (throughput mode: the batch
@@ -187,6 +248,11 @@ class BucketedSampler:
         retrying once at the exact bucket on overflow — saving two device
         round-trips per utterance.  ``fused=False`` uses the two-stage
         path that always picks the tightest frame bucket."""
+        if prompt_wav is not None and not fused:
+            raise ValueError(
+                "prompt_wav (single-call prompt analysis) requires fused=True; "
+                "use codec.encode_prompt + prompts/timbres for the staged path"
+            )
         b_real = phonemes.shape[0]
         pad_rows = 0
         if mesh is not None:
@@ -199,9 +265,13 @@ class BucketedSampler:
 
                 phonemes = pad_b(np.asarray(phonemes))
                 src_lens = pad_b(np.asarray(src_lens))
-                prompts = pad_b(np.asarray(prompts))
-                prompt_lens = pad_b(np.asarray(prompt_lens))
-                timbres = pad_b(np.asarray(timbres))
+                if prompt_wav is not None:
+                    prompt_wav = pad_b(np.asarray(prompt_wav))
+                    prompt_frames = pad_b(np.asarray(prompt_frames))
+                else:
+                    prompts = pad_b(np.asarray(prompts))
+                    prompt_lens = pad_b(np.asarray(prompt_lens))
+                    timbres = pad_b(np.asarray(timbres))
         b, l_in = phonemes.shape
         l_bucket = pick_bucket(l_in, self.phoneme_buckets)
         if l_in > l_bucket:
@@ -214,7 +284,12 @@ class BucketedSampler:
         phonemes_b[:, : min(l_in, l_bucket)] = phonemes[:, :l_bucket]
         src_lens = np.minimum(np.asarray(src_lens, dtype=np.int32), l_bucket)
 
-        p_in = prompts.shape[-1]
+        if prompt_wav is not None:
+            if codec is None or dec_params is None:
+                raise ValueError("prompt_wav requires `codec` (and its dec_params)")
+            p_in = int(np.max(np.asarray(prompt_frames)))
+        else:
+            p_in = prompts.shape[-1]
         p_bucket = pick_bucket(p_in, self.prompt_buckets)
         if p_in > p_bucket:
             warnings.warn(
@@ -222,9 +297,10 @@ class BucketedSampler:
                 f"{p_bucket}; prompt truncated (raise prompt_buckets)",
                 stacklevel=2,
             )
-        prompts_b = np.full((b, prompts.shape[1], p_bucket), vocab_pad, dtype=np.int32)
-        prompts_b[:, :, : min(p_in, p_bucket)] = prompts[:, :, :p_bucket]
-        prompt_lens = np.minimum(np.asarray(prompt_lens, dtype=np.int32), p_bucket)
+        if prompt_wav is None:
+            prompts_b = np.full((b, prompts.shape[1], p_bucket), vocab_pad, dtype=np.int32)
+            prompts_b[:, :, : min(p_in, p_bucket)] = prompts[:, :, :p_bucket]
+            prompt_lens = np.minimum(np.asarray(prompt_lens, dtype=np.int32), p_bucket)
 
         def place(x, batch_axis=True):
             x = jnp.asarray(x)
@@ -254,18 +330,32 @@ class BucketedSampler:
                 int(np.max(src_lens) * frames_per_phoneme_budget),
                 self.frame_buckets,
             )
-            timbres_j = place(np.asarray(timbres, dtype=np.float32))
-            prompts_j = place(prompts_b)
-            prompt_lens_j = place(prompt_lens)
+            if prompt_wav is not None:
+                wav_j = place(np.asarray(prompt_wav, dtype=np.float32)[:, :, None])
+                frames_j = place(np.asarray(prompt_frames, dtype=np.int32))
 
-            def call_fused(f_bucket):
-                return self._fused(
-                    prior_params, prob_params, dec_params,
-                    phonemes_j, src_lens_j, prompts_j, prompt_lens_j,
-                    timbres_j, rng, f_bucket, nsteps_durgen, nsteps_denoiser,
-                    jnp.float32(temp_durgen), jnp.float32(temp_denoiser),
-                    dec_params is not None,
-                )
+                def call_fused(f_bucket):
+                    return self._fused_p(
+                        prior_params, prob_params, dec_params, codec.enc_params,
+                        wav_j, frames_j, phonemes_j, src_lens_j, rng,
+                        codec.hop, tuple(codec.up_ratios_enc), p_bucket,
+                        f_bucket,
+                        jnp.float32(temp_durgen), jnp.float32(temp_denoiser),
+                        nsteps_durgen, nsteps_denoiser, vocab_pad,
+                    )
+            else:
+                timbres_j = place(np.asarray(timbres, dtype=np.float32))
+                prompts_j = place(prompts_b)
+                prompt_lens_j = place(prompt_lens)
+
+                def call_fused(f_bucket):
+                    return self._fused(
+                        prior_params, prob_params, dec_params,
+                        phonemes_j, src_lens_j, prompts_j, prompt_lens_j,
+                        timbres_j, rng, f_bucket, nsteps_durgen, nsteps_denoiser,
+                        jnp.float32(temp_durgen), jnp.float32(temp_denoiser),
+                        dec_params is not None,
+                    )
 
             result = call_fused(f_guess)
             # One RPC fetches overflow indicator + final outputs together
