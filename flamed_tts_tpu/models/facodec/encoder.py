@@ -22,15 +22,28 @@ from flamed_tts_tpu.ops.conv1d import conv1d
 from flamed_tts_tpu.ops.resample import snake_filtered
 
 
-def residual_unit(x: jnp.ndarray, p: Dict, dilation: int) -> jnp.ndarray:
+def residual_unit_xla(x: jnp.ndarray, p: Dict, dilation: int) -> jnp.ndarray:
     """Snake -> dilated k7 conv -> Snake -> k1 conv, residual
-    (facodec.py:121-133)."""
+    (facodec.py:121-133) as separate XLA ops (CPU path / edge reference)."""
     pad = ((7 - 1) * dilation) // 2
     h = snake_filtered(x, p["act1"]["alpha"], p["act1"]["beta"])
     h = conv1d(h, p["conv1"]["w"], p["conv1"]["b"], padding=pad, dilation=dilation)
     h = snake_filtered(h, p["act2"]["alpha"], p["act2"]["beta"])
     h = conv1d(h, p["conv2"]["w"], p["conv2"]["b"])
     return x + h
+
+
+def residual_unit(x: jnp.ndarray, p: Dict, dilation: int) -> jnp.ndarray:
+    """Residual unit; on TPU the whole unit runs as one fused Pallas
+    kernel (ops/pallas_resunit.py), elsewhere as the XLA chain — both
+    numerically equal (tests/test_pallas_kernels.py)."""
+    from flamed_tts_tpu.ops.resample import _pallas_available
+
+    if _pallas_available():
+        from flamed_tts_tpu.ops.pallas_resunit import residual_unit_pallas
+
+        return residual_unit_pallas(x, p, dilation)
+    return residual_unit_xla(x, p, dilation)
 
 
 def encoder_block(x: jnp.ndarray, p: Dict, stride: int) -> jnp.ndarray:

@@ -70,3 +70,62 @@ def test_fused_snake_resample_matches_xla():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
         )
+
+
+def test_fused_residual_unit_matches_xla():
+    """Whole-unit fusion (snake+conv7+snake+conv1+add) vs the XLA chain,
+    across dilations, multi-tile grids, and both edge windows."""
+    from flamed_tts_tpu.models.facodec.encoder import residual_unit_xla
+    import flamed_tts_tpu.ops.pallas_resunit as pru
+
+    rng = np.random.RandomState(5)
+
+    def unit_params(c):
+        return {
+            "act1": {"alpha": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1),
+                     "beta": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)},
+            "act2": {"alpha": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1),
+                     "beta": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)},
+            "conv1": {"w": jnp.asarray(rng.randn(c, c, 7).astype(np.float32) * 0.1),
+                      "b": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)},
+            "conv2": {"w": jnp.asarray(rng.randn(c, c, 1).astype(np.float32) * 0.1),
+                      "b": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)},
+        }
+
+    for (t_len, c, d, tile) in [
+        (300, 16, 1, 128),    # 3 tiles, smallest halo
+        (300, 16, 3, 128),
+        (290, 16, 9, 128),    # halo 39, 2*halo=78 close to tile
+        (140, 32, 1, 128),    # partial second tile
+        (260, 8, 9, None),    # default tile (single tile path)
+    ]:
+        p = unit_params(c)
+        x = jnp.asarray(rng.randn(2, t_len, c).astype(np.float32))
+        ref = residual_unit_xla(x, p, d)
+        out = pru.residual_unit_pallas(x, p, d, tile=tile)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-4,
+            err_msg=f"t_len={t_len} c={c} d={d} tile={tile}",
+        )
+
+
+def test_fused_residual_unit_short_input_falls_back():
+    from flamed_tts_tpu.models.facodec.encoder import residual_unit_xla
+    import flamed_tts_tpu.ops.pallas_resunit as pru
+
+    rng = np.random.RandomState(6)
+    c = 8
+    p = {
+        "act1": {"alpha": jnp.zeros(c), "beta": jnp.zeros(c)},
+        "act2": {"alpha": jnp.zeros(c), "beta": jnp.zeros(c)},
+        "conv1": {"w": jnp.asarray(rng.randn(c, c, 7).astype(np.float32) * 0.1),
+                  "b": jnp.zeros(c)},
+        "conv2": {"w": jnp.asarray(rng.randn(c, c, 1).astype(np.float32) * 0.1),
+                  "b": jnp.zeros(c)},
+    }
+    x = jnp.asarray(rng.randn(1, 20, c).astype(np.float32))  # < 2*halo
+    np.testing.assert_allclose(
+        np.asarray(pru.residual_unit_pallas(x, p, 9)),
+        np.asarray(residual_unit_xla(x, p, 9)),
+        atol=1e-6,
+    )
