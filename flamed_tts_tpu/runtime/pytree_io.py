@@ -63,4 +63,8 @@ def load_pytree_npz(path: str) -> Any:
 
 
 def pytree_num_params(tree: Any) -> int:
-    return int(sum(v.size for v in flatten_pytree(tree).values()))
+    # Shape metadata only — flatten_pytree would device_get every leaf
+    # (~25 ms of tunnel round trip each on this platform).
+    import jax
+
+    return int(sum(np.prod(l.shape) for l in jax.tree.leaves(tree)))

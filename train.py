@@ -21,6 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # kill -USR1 <pid> dumps all thread stacks (long first-compile runs on
+    # the relay are indistinguishable from hangs without this).
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config-dir", type=str, default="configs")
     parser.add_argument("--exp-dir", type=str, required=True)
