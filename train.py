@@ -50,6 +50,9 @@ def main() -> None:
     import jax
 
     from flamed_tts_tpu.config import compose_training_config, save_yaml
+    from flamed_tts_tpu.runtime.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from flamed_tts_tpu.data.dataset import (
         BucketedCollator,
         PrecomputedDataset,
