@@ -109,10 +109,11 @@ def _unit_kernel(
 
 
 def _pick_tile(t_len: int, c: int) -> int:
-    """Keep (tile + 2*halo) * C around 2^18 fp32 elements (~1 MB per live
-    buffer, ~8 live buffers + weights well under the 16 MB VMEM limit).
-    Large C also carries (7+1) C x C weight blocks, so halve the tile."""
-    budget = 2 ** 17 if c >= 256 else 2 ** 18
+    """Size tiles so the kernel's ~10 live fp32 buffers of
+    (tile + 2*halo, C) plus the (7+1) C x C weight blocks stay well under
+    the 16 MB scoped-VMEM limit (2^18-element tiles hit the limit at
+    C=64: 17.9 M > 16 M, measured on v5e)."""
+    budget = 2 ** 17 if c >= 256 else 2 ** 16
     tile = budget // max(c, 1)
     tile = 1 << int(np.floor(np.log2(max(tile, 128))))
     t_cap = max(128, 1 << int(np.ceil(np.log2(max(t_len, 1)))))
