@@ -81,7 +81,11 @@ class FaCodec:
         from flamed_tts_tpu.models.facodec.encoder import init_encoder_params
 
         r1, r2 = jax.random.split(rng)
-        return cls(init_encoder_params(r1), init_decoder_params(r2))
+        # One compiled program per init: executed eagerly these make ~100
+        # separate device calls (~25 ms dispatch each here — minutes).
+        enc_p = jax.jit(init_encoder_params)(r1)
+        dec_p = jax.jit(init_decoder_params)(r2)
+        return cls(enc_p, dec_p)
 
     # --- inference -------------------------------------------------------
 

@@ -81,22 +81,28 @@ class Flamed:
         enc_hidden = _to_plain_dict(self.cfg["prior_generator"])["transformer"]["encoder_hidden"]
         cond_dim = _to_plain_dict(self.cfg["prob_generator"])["cond_dim"]
         spk_dim = _to_plain_dict(self.cfg["prob_generator"])["spk_dim"]
-        prior_params = self.prior_module.init(
-            r1,
-            jnp.zeros((b, l), jnp.int32),
-            jnp.zeros((b, l), bool),
-            jnp.zeros((b, f, enc_hidden)),
-            jnp.zeros((b, f), bool),
-            jnp.zeros((b, self.n_quantizers, p), jnp.int32),
-            jnp.full((b,), p, jnp.int32),
-            method="init_all",
-        )
-        prob_params = self.prob_module.init(
-            r2,
-            jnp.zeros((b, self.n_quantizers, f, cond_dim)),
-            jnp.zeros((b, spk_dim)),
-            jnp.zeros((b, f), bool),
-        )
+        # jit each init: run eagerly, flax init issues one device call per
+        # parameter (~25 ms dispatch each here — minutes for 120 M params).
+        prior_params = jax.jit(
+            lambda key: self.prior_module.init(
+                key,
+                jnp.zeros((b, l), jnp.int32),
+                jnp.zeros((b, l), bool),
+                jnp.zeros((b, f, enc_hidden)),
+                jnp.zeros((b, f), bool),
+                jnp.zeros((b, self.n_quantizers, p), jnp.int32),
+                jnp.full((b,), p, jnp.int32),
+                method="init_all",
+            )
+        )(r1)
+        prob_params = jax.jit(
+            lambda key: self.prob_module.init(
+                key,
+                jnp.zeros((b, self.n_quantizers, f, cond_dim)),
+                jnp.zeros((b, spk_dim)),
+                jnp.zeros((b, f), bool),
+            )
+        )(r2)
         return {"prior": prior_params, "prob": prob_params}
 
     def num_params(self) -> int:
