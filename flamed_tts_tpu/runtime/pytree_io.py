@@ -67,4 +67,4 @@ def pytree_num_params(tree: Any) -> int:
     # (~25 ms of tunnel round trip each on this platform).
     import jax
 
-    return int(sum(np.prod(l.shape) for l in jax.tree.leaves(tree)))
+    return int(sum(np.prod(np.shape(l)) for l in jax.tree.leaves(tree)))

@@ -188,6 +188,10 @@ class BucketedSampler:
         from flamed_tts_tpu.models.facodec.encoder import encoder_forward
 
         n_frames_total = wav.shape[1] // hop
+        # A prompt longer than the largest wav-second bucket arrives
+        # truncated; clamp the frame count so zero-padded tail frames
+        # never count as valid (matches FaCodec.encode_prompt).
+        wav_frames = jnp.minimum(wav_frames, n_frames_total)
         pad_mask = mask_from_lengths(wav_frames, n_frames_total)
         latents = encoder_forward(enc_params, wav, up_ratios=up_ratios_enc)
         codes, timbre = analyze(dec_params, latents, pad_mask)
@@ -416,7 +420,13 @@ class BucketedSampler:
             nsteps_durgen,
             jnp.float32(temp_durgen),
         )
-        max_needed = int(jax.device_get(tgt_len_est).max())
+        tgt_est_h = np.asarray(jax.device_get(tgt_len_est))
+        max_needed = int(tgt_est_h.max())
+        # Feed the speculative-bucket history from this path too, so a
+        # server alternating staged/fused calls converges its guesses.
+        ratios = tgt_est_h / np.maximum(np.asarray(src_lens, np.float32), 1.0)
+        self._ratio_history.extend(float(r) for r in ratios)
+        del self._ratio_history[:-256]
         if max_needed > self.frame_buckets[-1]:
             warnings.warn(
                 f"sampled target length {max_needed} frames exceeds the "

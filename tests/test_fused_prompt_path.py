@@ -77,7 +77,11 @@ def test_fused_prompt_equals_staged(setup):
     key = jax.random.PRNGKey(7)
 
     # Staged: separate prompt analysis call, then the fused program.
+    # Reset the speculative-bucket history between the two calls below so
+    # the first run's observed speech rate cannot shift the second run
+    # into a different frame bucket (shapes must match for allclose).
     codes, timbre = codec.encode_prompt(wav)
+    sampler._ratio_history.clear()
     out_a = sampler.sample(
         params["prior"], params["prob"], phonemes, src_lens,
         codes[None], np.asarray([codes.shape[-1]], np.int32), timbre[None],
@@ -85,7 +89,9 @@ def test_fused_prompt_equals_staged(setup):
         vocab_pad=1024, dec_params=codec.dec_params, fused=True,
     )
 
-    # Single call: encode+analyze inside the program.
+    # Single call: encode+analyze inside the program.  Clear the history
+    # again: call A above appended its observed ratio.
+    sampler._ratio_history.clear()
     padded, n_frames = codec.pad_prompt_wav(wav)
     out_b = sampler.sample(
         params["prior"], params["prob"], phonemes, src_lens,
