@@ -15,6 +15,10 @@ import jax.numpy as jnp
 from flamed_tts_tpu.models.facodec.decoder import init_decoder_params, synthesize
 from flamed_tts_tpu.ops.melspec import mel_spectrogram
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the fast suite (-m 'not slow')
+
 
 def _bf16(params):
     return jax.tree.map(

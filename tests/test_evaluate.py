@@ -2,6 +2,10 @@
 
 from tools.evaluate import word_error_rate
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the fast suite (-m 'not slow')
+
 
 def test_wer_exact_match():
     assert word_error_rate("the cat sat", "the cat sat") == 0.0

@@ -18,6 +18,8 @@ from flamed_tts_tpu.models.facodec.extras import (
 )
 from flamed_tts_tpu.ops.melspec import mel_spectrogram, mel_filterbank
 
+pytestmark = pytest.mark.slow  # excluded from the fast suite (-m 'not slow')
+
 
 def test_gradient_reversal():
     def loss(x):

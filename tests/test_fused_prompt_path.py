@@ -17,6 +17,8 @@ from tests.parity_utils import SMALL_PRIOR_CFG, SMALL_PROB_CFG
 from flamed_tts_tpu.models.codec_wrapper import FaCodec
 from flamed_tts_tpu.runtime.sampler import BucketedSampler
 
+pytestmark = pytest.mark.slow  # excluded from the fast suite (-m 'not slow')
+
 
 @pytest.fixture(scope="module")
 def setup():

@@ -11,6 +11,8 @@ from jax.experimental import pallas as pl
 
 import flamed_tts_tpu.ops.pallas_convnext as m
 
+pytestmark = pytest.mark.slow  # excluded from the fast suite (-m 'not slow')
+
 
 @pytest.fixture(autouse=True)
 def interpret_mode(monkeypatch):

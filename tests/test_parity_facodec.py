@@ -26,6 +26,8 @@ from flamed_tts_tpu.models.facodec.encoder import encoder_forward
 from flamed_tts_tpu.models.facodec.decoder import analyze, synthesize, vq2emb
 from flamed_tts_tpu.ops.masking import mask_from_lengths
 
+pytestmark = pytest.mark.slow  # excluded from the fast suite (-m 'not slow')
+
 UP_RATIOS_ENC = (2, 2, 2, 2)  # hop 16 for fast tests
 UP_RATIOS_DEC = (2, 2, 2, 2)
 

@@ -39,6 +39,8 @@ from flamed_tts_tpu.models.facodec.extras import (
 )
 from flamed_tts_tpu.models.facodec.timbre import timbre_encoder_forward
 
+pytestmark = pytest.mark.slow  # excluded from the fast suite (-m 'not slow')
+
 ENC_UP = (2, 4, 5, 5)  # hop 200 so codec frames align with the mel grid
 DEC_UP = (5, 5, 4, 2)
 

@@ -28,6 +28,8 @@ from flamed_tts_tpu.models.prior.prior_generator import PriorGenerator
 from flamed_tts_tpu.models.prob.prob_generator import ProbGenerator
 from flamed_tts_tpu.ops.masking import mask_from_lengths
 
+pytestmark = pytest.mark.slow  # excluded from the fast suite (-m 'not slow')
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

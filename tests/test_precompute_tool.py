@@ -6,6 +6,10 @@ import sys
 
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the fast suite (-m 'not slow')
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TEXTGRID = '''File type = "ooTextFile"

@@ -13,6 +13,8 @@ from tests.test_training import tiny_modules, tiny_params
 from flamed_tts_tpu.parallel.mesh import make_mesh
 from flamed_tts_tpu.runtime.sampler import BucketedSampler
 
+pytestmark = pytest.mark.slow  # excluded from the fast suite (-m 'not slow')
+
 
 @pytest.fixture(scope="module")
 def setup():

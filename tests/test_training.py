@@ -22,6 +22,8 @@ from flamed_tts_tpu.train.step import (
     warmup_cosine_schedule,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the fast suite (-m 'not slow')
+
 OPT_CFG = {
     "lr": 1e-3, "betas": [0.9, 0.98], "eps": 1e-9,
     "weight_decay": 1e-4, "warmup_steps": 2, "max_steps": 100,

@@ -324,6 +324,144 @@ def bench_convforms(dtype) -> None:
         )
 
 
+V5E_PEAK_BF16_TFLOPS = 197.0   # one v5e chip, bf16 MXU peak
+V5E_PEAK_HBM_GBS = 819.0       # one v5e chip, HBM bandwidth
+
+
+def _cost(fn, *args):
+    """XLA's own (flops, bytes-accessed) estimate for jit(fn)(*args).
+
+    Note: XLA cost analysis counts a while/scan body ONCE, so loops must
+    be analyzed per-step and scaled by the trip count by the caller.
+    """
+    import jax
+
+    compiled = jax.jit(fn).lower(*args).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def _mfu_row(name, ms, flops, nbytes):
+    tflops = flops / (ms * 1e-3) / 1e12 if ms > 0 else 0.0
+    gbs = nbytes / (ms * 1e-3) / 1e9 if ms > 0 else 0.0
+    print(
+        f"  {name:<38} {ms:8.3f} ms  {flops / 1e9:9.2f} GF "
+        f"{tflops:7.2f} TF/s ({100 * tflops / V5E_PEAK_BF16_TFLOPS:5.1f}% MXU)  "
+        f"{gbs:7.1f} GB/s ({100 * gbs / V5E_PEAK_HBM_GBS:5.1f}% HBM)"
+    )
+    return {"name": name, "ms": ms, "gflop": flops / 1e9,
+            "tflops": tflops, "mxu_pct": 100 * tflops / V5E_PEAK_BF16_TFLOPS,
+            "gbs": gbs, "hbm_pct": 100 * gbs / V5E_PEAK_HBM_GBS}
+
+
+def bench_mfu(dtype) -> None:
+    """FLOP-utilization accounting for the four pipeline stages.
+
+    ms comes from the fori_loop method (dispatch floor subtracted);
+    flops/bytes from XLA cost analysis of the same program (per-step for
+    the Euler scan, scaled by nfe).  Peaks: one v5e chip, bf16.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from flamed_tts_tpu.config import load_default_config
+    from flamed_tts_tpu.models.facodec.decoder import init_decoder_params, synthesize
+    from flamed_tts_tpu.models.facodec.encoder import encoder_forward, init_encoder_params
+    from flamed_tts_tpu.models.prior.prior_generator import PriorGenerator
+    from flamed_tts_tpu.models.prob.prob_generator import ProbGenerator
+
+    cfg = load_default_config()
+    B, P, L, NFE = 1, 256, 768, 64
+    cast = lambda tree: jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, tree
+    )
+    rows = []
+    print(f"MFU accounting (B={B}, frames={L}, nfe={NFE}, {dtype.__name__}; "
+          f"peaks: {V5E_PEAK_BF16_TFLOPS:.0f} TF/s bf16 MXU, "
+          f"{V5E_PEAK_HBM_GBS:.0f} GB/s HBM)")
+
+    # --- denoiser: one Euler step x NFE -------------------------------
+    prob = ProbGenerator(config=cfg["prob_generator"])
+    rng = jax.random.PRNGKey(0)
+    pp = prob.init(
+        rng,
+        jnp.zeros((B, 6, L, cfg["prob_generator"]["cond_dim"])),
+        jnp.zeros((B, cfg["prob_generator"]["spk_dim"])),
+        jnp.zeros((B, L), bool),
+    )
+    pp = cast(pp)
+    ts = jnp.linspace(0.0, 1.0, NFE + 1, dtype=jnp.float32)[:-1]
+    spk = jax.random.normal(rng, (B, cfg["prob_generator"]["spk_dim"]), dtype)
+    mods_all = jax.jit(
+        lambda t, s: prob.apply(pp, t, s, method="denoiser_mods")
+    )(ts, spk)
+    mods_1 = jax.tree.map(lambda a: a[0], mods_all)
+    pad = jnp.zeros((B, L), bool)
+    x = jax.random.normal(rng, (B, L, cfg["prob_generator"]["target_dim"]), dtype)
+
+    def one_step(v):
+        return prob.apply(pp, v, mods_1, pad, method="denoise_with_mods")
+
+    ms = timeit_looped(one_step, x)
+    fl, by = _cost(one_step, x)
+    rows.append(_mfu_row(f"denoiser step x{NFE} (extrapolated)",
+                         ms * NFE, fl * NFE, by * NFE))
+
+    # --- prior decode -------------------------------------------------
+    prior = PriorGenerator(config=cfg["prior_generator"])
+    var = prior.init(
+        rng,
+        jnp.ones((B, 64), jnp.int32), jnp.zeros((B, 64), bool),
+        jnp.zeros((B, 8, 192)), jnp.zeros((B, 8), bool),
+        jnp.zeros((B, 6, 4), jnp.int32), jnp.full((B,), 4, jnp.int32),
+        method="init_all",
+    )
+    var = cast(var)
+    lr_out = jax.random.normal(rng, (B, L, 192), dtype)
+    tgt_mask = jnp.zeros((B, L), bool)
+    prompts = jnp.ones((B, 6, P), jnp.int32)
+    p_lens = jnp.full((B,), P, jnp.int32)
+
+    def prior_dec(v):
+        return prior.apply(var, v, tgt_mask, prompts, p_lens, method="decode")
+
+    ms = timeit_looped(prior_dec, lr_out, n=10)
+    fl, by = _cost(prior_dec, lr_out)
+    rows.append(_mfu_row(f"prior decode (shared+6 dec, {P}+{L})", ms, fl, by))
+
+    # --- codec decode -------------------------------------------------
+    dp = cast(init_decoder_params(jax.random.PRNGKey(0)))
+    lat = jax.random.normal(rng, (B, L, 256), dtype)
+    timbre = jax.random.normal(rng, (B, 256), dtype)
+
+    def codec_dec(v):
+        return synthesize(dp, v, timbre)
+
+    ms = timeit_looped(codec_dec, lat, n=10)
+    fl, by = _cost(codec_dec, lat)
+    rows.append(_mfu_row(f"codec decode ({L}f -> {L * 200 / 16000:.1f}s wav)", ms, fl, by))
+
+    # --- prompt encode (3 s) ------------------------------------------
+    ep = cast(init_encoder_params(jax.random.PRNGKey(0)))
+    wav = jax.random.normal(rng, (B, 48000, 1), dtype)
+
+    def enc(v):
+        return encoder_forward(ep, v)
+
+    ms = timeit_looped(enc, wav, n=10)
+    fl, by = _cost(enc, wav)
+    rows.append(_mfu_row("prompt encode (3 s wav)", ms, fl, by))
+
+    total_ms = sum(r["ms"] for r in rows)
+    total_fl = sum(r["gflop"] for r in rows)
+    audio_s = L * 200 / 16000
+    print(f"  total compute {total_ms:.1f} ms / {audio_s:.1f} s audio "
+          f"= RTF {total_ms / 1e3 / audio_s:.4f} compute floor; "
+          f"{total_fl:.1f} GFLOP")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="codec,pieces,prior,convnext,convforms")
@@ -347,6 +485,8 @@ def main() -> None:
         bench_convnext(dtype)
     if "convforms" in which:
         bench_convforms(dtype)
+    if "mfu" in which:
+        bench_mfu(dtype)
 
 
 if __name__ == "__main__":
