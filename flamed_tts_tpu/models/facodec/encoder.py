@@ -38,15 +38,16 @@ def residual_unit(x: jnp.ndarray, p: Dict, dilation: int) -> jnp.ndarray:
     kernel (ops/pallas_resunit.py), elsewhere as the XLA chain — both
     numerically equal (tests/test_pallas_kernels.py).
 
-    Measured on v5e (looped, dispatch-subtracted, bf16): the fused kernel
-    wins for C >= 64 with L*C >= ~1.5M elements (every decoder unit and
-    the encoder's 24000x64 block, 1.2-4.5 -> 0.8-3.9 ms/unit); below
-    that the kernel's underfilled lanes / tiny tiles lose to XLA, so
-    those shapes keep the XLA chain."""
+    Measured on v5e (looped, dispatch-subtracted, bf16): with the
+    lane-folded variant for C=32/64 (F=128/C rows packed into the lane
+    dim) the fused kernel wins every production shape — decoder units
+    2.1-2.3x at C=64xL=164k, 1.6x at C=128, and the encoder's C=32
+    full-rate block 3.4x; below ~1M elements the win is within noise of
+    the dispatch floor, so those shapes keep the XLA chain."""
     from flamed_tts_tpu.ops.resample import _pallas_available
 
     c, l = x.shape[2], x.shape[1]
-    if _pallas_available() and c >= 64 and l * c >= 1_500_000:
+    if _pallas_available() and c >= 32 and l * c >= 1_000_000:
         from flamed_tts_tpu.ops.pallas_resunit import residual_unit_pallas
 
         return residual_unit_pallas(x, p, dilation)

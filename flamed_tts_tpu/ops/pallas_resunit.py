@@ -108,6 +108,171 @@ def _unit_kernel(
     out_ref[:, :] = (xs[halo : halo + tile, :].astype(io_dtype) + y).astype(io_dtype)
 
 
+# --- lane-folded variant (C < 128) -------------------------------------
+# The VPU is 8 x 128 lanes and the MXU tiles are 128 wide; at C = 64 the
+# plain kernel wastes half of every vector op and at C = 32 three
+# quarters.  Folding F = 128 // C consecutive time rows into the lane
+# dimension fills the hardware: a folded row m holds original rows
+# [F*m, F*m + F).  A time-shift by s original rows then becomes folded
+# companion s % F (lanes rotated by (s % F) * C across the row boundary)
+# at folded row offset s // F, so every FIR tap / conv tap reads one of F
+# precomputed companions.  The dense convs use block-diagonal
+# (F*C, F*C) weights: the MXU padded those to 128 wide anyway, so the
+# zeros are free and each dot now covers F original rows.
+
+
+def _companions(x_f, f: int):
+    """All F lane-rotated row foldings of ``x_f`` (n, F*C).
+
+    Companion o, row m = original rows [F*m + o, F*m + o + F).  The last
+    row of companions o > 0 needs original rows beyond ``x_f``; it is
+    filled with junk (zeros) — callers' index math must keep valid
+    outputs away from it (asserted in _fir_folded).
+    """
+    n, fc = x_f.shape
+    if f == 1:
+        return [x_f]
+    c = fc // f
+    # Lane-concat of offset slices is unsupported by Mosaic ("offset
+    # mismatch on non-concat dimension"); build each companion from two
+    # circular rolls + a lane select instead.  Lanes < fc - o*c come from
+    # row m's rotated lanes [o*c, fc); the tail lanes wrap to row m+1's
+    # lanes [0, o*c) via an additional row roll.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, fc), 1)
+    outs = [x_f]
+    for o in range(1, f):
+        ra = pltpu.roll(x_f, shift=fc - o * c, axis=1)
+        rb = pltpu.roll(ra, shift=n - 1, axis=0)
+        outs.append(jnp.where(lane < fc - o * c, ra, rb))
+    return outs
+
+
+def _fir_folded(comps, f: int, shift_coeffs, n_out_f: int):
+    """sum_k coeff_k * x[orig_shift_k + t] over folded rows.
+
+    comps: output of _companions.  shift_coeffs: [(orig_shift, coeff)].
+    Junk-row safety: companions o > 0 have a junk LAST row, so reads must
+    stay at least one row short of the end for o > 0.
+    """
+    n = comps[0].shape[0]
+    acc = None
+    for s, cf in shift_coeffs:
+        o, r = s % f, s // f
+        limit = n if o == 0 else n - 1
+        assert r + n_out_f <= limit, (
+            f"folded FIR out of bounds: shift {s} (o={o}, r={r}) + "
+            f"{n_out_f} rows > {limit}"
+        )
+        term = cf * comps[o][r : r + n_out_f]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _snake_folded(x_comps, f, alpha, beta, n_out_f, taps):
+    """Folded alias-free SnakeBeta; orig row 0 of the companions' base is
+    6 original rows before output row 0 (same convention as _snake_poly).
+    alpha/beta are (1, F*C) lane-tiled.  Needs x rows >= n_out_f*f + 12
+    (+ one folded junk row of slack for the odd companions).
+    """
+    f_e, f_o, f_dn = taps
+    # ye/yo need n_out + 6 original rows; round up to whole folded rows.
+    n_y_f = n_out_f + (6 + f - 1) // f + 1
+    ye = _fir_folded(
+        x_comps, f, [(5 - k, 2.0 * float(f_e[k])) for k in range(6)], n_y_f
+    )
+    yo = _fir_folded(
+        x_comps, f, [(6 - k, 2.0 * float(f_o[k])) for k in range(6)], n_y_f
+    )
+    inv_b = 1.0 / (beta + 1e-9)
+    ye = ye + inv_b * jnp.square(jnp.sin(ye * alpha))
+    yo = yo + inv_b * jnp.square(jnp.sin(yo * alpha))
+    ye_c = _companions(ye, f)
+    yo_c = _companions(yo, f)
+    taps_e = [((j - 5) // 2 + 3, float(f_dn[j])) for j in range(12) if j % 2 == 1]
+    taps_o = [((j - 6) // 2 + 3, float(f_dn[j])) for j in range(12) if j % 2 == 0]
+    return _fir_folded(ye_c, f, taps_e, n_out_f) + _fir_folded(
+        yo_c, f, taps_o, n_out_f
+    )
+
+
+def _unit_kernel_folded(
+    x_cur_ref, x_next_ref, ab1_ref, w1_ref, c1b_ref, ab2_ref, w2_ref, c2b_ref,
+    out_ref, *, tile_f: int, halo: int, fold: int, dilation: int, taps,
+):
+    """Folded twin of _unit_kernel.  All refs are in folded layout:
+    x blocks (tile_f, F*C), weights block-diagonal (F*C, F*C) per tap,
+    ab/bias lane-tiled.  ``halo`` is in ORIGINAL rows (multiple of F)."""
+    fc = x_cur_ref.shape[1]
+    d = dilation
+    f = fold
+    halo_f = halo // f
+    io_dtype = out_ref.dtype
+
+    a1 = jnp.exp(ab1_ref[0, :])[None, :]
+    b1 = jnp.exp(ab1_ref[1, :])[None, :]
+    a2 = jnp.exp(ab2_ref[0, :])[None, :]
+    b2 = jnp.exp(ab2_ref[1, :])[None, :]
+
+    xs = jnp.concatenate(
+        [x_cur_ref[:, :], x_next_ref[pl.ds(0, 2 * halo_f), :]], axis=0
+    ).astype(jnp.float32)  # folded rows: tile_f + 2*halo_f; orig row 0 = t0 - halo
+    xs_c = _companions(xs, f)
+
+    tile = tile_f * f
+    # snake1 output h1: orig row 0 = t0 - halo + 6.  Must cover conv7's
+    # deepest read (h1-relative row (halo - 12 + 3d) + tile + 12 + extra);
+    # +3 folded rows absorb the odd-companion junk-row losses (the halo
+    # slack added by the wrapper guarantees xs covers these — the static
+    # asserts in _fir_folded enforce it).
+    n1_f = -(-(tile + halo + 3 * d) // f) + 3
+    # Round to io_dtype (XLA-chain parity) but KEEP fp32 storage:
+    # pltpu.roll on bf16 operands crashes the Mosaic backend, so the
+    # companions are built in fp32 and cast at the MXU dot inputs — the
+    # values are already bf16-representable, so the cast is exact.
+    h1 = _snake_folded(xs_c, f, a1, b1, n1_f, taps).astype(io_dtype).astype(
+        jnp.float32
+    )
+    h1_c = _companions(h1, f)
+
+    # conv7 dilated: h2 orig row 0 = t0 - 6; tile + 12 rows (+2 folded
+    # rows so snake2's folded FIR bounds clear).
+    # h2[m] = sum_k w1[k] . h1[m + (k-3)d + halo - 12]  (h1-relative)
+    n2_f = (tile + 12) // f + 2
+    acc = None
+    for k in range(7):
+        s = (k - 3) * d + halo - 12
+        o, r = s % f, s // f
+        limit = h1_c[o].shape[0] - (0 if o == 0 else 1)
+        assert 0 <= r and r + n2_f <= limit, (
+            f"conv7 folded oob: k={k} s={s} o={o} r={r} n2_f={n2_f} lim={limit}"
+        )
+        term = jax.lax.dot(
+            h1_c[o][r : r + n2_f].astype(io_dtype), w1_ref[k, :, :],
+            preferred_element_type=jnp.float32,
+        )
+        acc = term if acc is None else acc + term
+    h2 = (acc.astype(io_dtype) + c1b_ref[0, :].astype(io_dtype)).astype(jnp.float32)
+
+    # snake2: output rows [t0, t0 + tile)
+    h2_c = _companions(h2, f)
+    h3 = _snake_folded(h2_c, f, a2, b2, tile_f, taps).astype(io_dtype)
+
+    y = jax.lax.dot(h3, w2_ref[:, :], preferred_element_type=jnp.float32)
+    y = y.astype(io_dtype) + c2b_ref[0, :].astype(io_dtype)
+    out_ref[:, :] = (
+        xs[halo_f : halo_f + tile_f, :].astype(io_dtype) + y
+    ).astype(io_dtype)
+
+
+def _blockdiag(w: jnp.ndarray, f: int) -> jnp.ndarray:
+    """(C, C) -> block-diagonal (F*C, F*C)."""
+    if f == 1:
+        return w
+    c = w.shape[0]
+    eye = jnp.eye(f, dtype=w.dtype)
+    return jnp.einsum("ij,ab->iajb", eye, w).reshape(f * c, f * c)
+
+
 def _pick_tile(t_len: int, c: int) -> int:
     """Size tiles so the kernel's ~10 live fp32 buffers of
     (tile + 2*halo, C) plus the (7+1) C x C weight blocks stay well under
@@ -132,7 +297,17 @@ def residual_unit_pallas(
     """Fused residual unit; equals the XLA chain to ~1e-5 (fp32)."""
     b, t_len, c = x.shape
     d = int(dilation)
-    halo = 3 * d + 12
+    # Lane fold: pack F = 128 // C consecutive rows into the lane dim so
+    # C = 64 / C = 32 shapes fill the 128-wide VPU/MXU (measured ~2x/4x
+    # on the decoder's C=64 block, tools/bench_components.py).
+    fold = 128 // c if c in (32, 64) else 1
+    if fold > 1:
+        # Halo slack: folded companions lose one row per level; the
+        # +4f/+5f terms make every folded FIR bound exact (see the
+        # static asserts in _fir_folded).
+        halo = -(-(3 * d + 12) // fold) * fold + (4 if fold == 2 else 5) * fold
+    else:
+        halo = 3 * d + 12
     tile = tile or _pick_tile(t_len, c)
     if t_len < 2 * halo or tile < 2 * halo:
         return _xla_unit(x, p, dilation)
@@ -156,29 +331,52 @@ def residual_unit_pallas(
     c1b = p["conv1"]["b"].reshape(1, c).astype(x.dtype)
     c2b = p["conv2"]["b"].reshape(1, c).astype(x.dtype)
 
-    kern = partial(_unit_kernel, tile=tile, halo=halo, dilation=d, taps=taps)
+    if fold > 1:
+        f = fold
+        fc = f * c
+        tile_f = tile // f
+        # Folded layout: (rows, C) -> (rows/F, F*C) is a contiguous
+        # row-major reshape; weights become block-diagonal per tap.
+        xp = xp.reshape(b, xp.shape[1] // f, fc)
+        ab1 = jnp.tile(ab1, (1, f))
+        ab2 = jnp.tile(ab2, (1, f))
+        w1 = jax.vmap(_blockdiag, in_axes=(0, None))(w1, f)  # (7, fc, fc)
+        w2 = _blockdiag(w2, f)
+        c1b = jnp.tile(c1b, (1, f))
+        c2b = jnp.tile(c2b, (1, f))
+        kern = partial(
+            _unit_kernel_folded,
+            tile_f=tile_f, halo=halo, fold=f, dilation=d, taps=taps,
+        )
+        block_rows, block_c = tile_f, fc
+    else:
+        kern = partial(_unit_kernel, tile=tile, halo=halo, dilation=d, taps=taps)
+        block_rows, block_c = tile, c
 
     def one(x_i):
         return pl.pallas_call(
             kern,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, c), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((7, c, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_rows, block_c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_rows, block_c), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, block_c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((7, block_c, block_c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, block_c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_c, block_c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (block_rows, block_c), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((n_tiles * tile, c), x.dtype),
+            out_shape=jax.ShapeDtypeStruct((n_tiles * block_rows, block_c), x.dtype),
         )(x_i, x_i, ab1, w1, c1b, ab2, w2, c2b)
 
-    z = jax.vmap(one)(xp)[:, :t_len, :]
+    z = jax.vmap(one)(xp)
+    if fold > 1:
+        z = z.reshape(b, n_tiles * tile, c)
+    z = z[:, :t_len, :]
 
     # Patch the global edges (replicate-pad snakes + zero-pad convs) with
     # the exact XLA chain on small windows.  Valid interior rows are

@@ -98,8 +98,11 @@ def test_fused_residual_unit_matches_xla():
         (300, 16, 1, 128),    # 3 tiles, smallest halo
         (300, 16, 3, 128),
         (290, 16, 9, 128),    # halo 39, 2*halo=78 close to tile
-        (140, 32, 1, 128),    # partial second tile
+        (140, 32, 1, 128),    # partial second tile, folded (F=4)
         (260, 8, 9, None),    # default tile (single tile path)
+        (700, 32, 9, 256),    # folded F=4, dilation 9, 3 tiles
+        (513, 64, 3, 256),    # folded F=2, partial tile
+        (1100, 64, 9, 256),   # folded F=2, dilation 9, 5 tiles
     ]:
         p = unit_params(c)
         x = jnp.asarray(rng.randn(2, t_len, c).astype(np.float32))
