@@ -8,7 +8,7 @@ the loop carry so XLA cannot hoist or CSE the body), and the wall time
 is divided by N.  The ~25 ms dispatch is amortized to noise.
 
 Usage:
-  python tools/bench_components.py [--which codec,pieces,prior,convnext,convforms]
+  python tools/bench_components.py [--which codec,pieces,prior,convforms,mfu]
 """
 
 from __future__ import annotations
@@ -197,32 +197,6 @@ def bench_prior(dtype) -> None:
         lr_out, n=10,
     )
     print(f"prior decode (shared+6 dec, {P}+{L}): {ms:8.2f} ms")
-
-
-def bench_convnext(dtype) -> None:
-    import jax
-    import jax.numpy as jnp
-
-    from flamed_tts_tpu.ops.pallas_convnext import (
-        depthwise_conv_instance_norm,
-        reference_conv_instance_norm,
-    )
-
-    C, K = 1024, 31
-    w = jax.random.normal(jax.random.PRNGKey(0), (K, C), dtype)
-    scale = jnp.ones((C,), dtype)
-    bias = jnp.zeros((C,), dtype)
-    for B in (1, 4, 8):
-        for L in (768, 1408):
-            x = jax.random.normal(jax.random.PRNGKey(1), (B, L, C), dtype)
-            lens = jnp.full((B,), L, jnp.int32)
-            t_p = timeit_looped(
-                lambda v: depthwise_conv_instance_norm(v, w, scale, bias, lens), x
-            )
-            t_x = timeit_looped(
-                lambda v: reference_conv_instance_norm(v, w, scale, bias, lens), x
-            )
-            print(f"  convnext B{B} L{L}: pallas {t_p:7.3f}  xla {t_x:7.3f} ms")
 
 
 def bench_convforms(dtype) -> None:
@@ -464,7 +438,7 @@ def bench_mfu(dtype) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--which", default="codec,pieces,prior,convnext,convforms")
+    ap.add_argument("--which", default="codec,pieces,prior,convforms")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     args = ap.parse_args()
 
@@ -481,8 +455,6 @@ def main() -> None:
         bench_codec_pieces(dtype)
     if "prior" in which:
         bench_prior(dtype)
-    if "convnext" in which:
-        bench_convnext(dtype)
     if "convforms" in which:
         bench_convforms(dtype)
     if "mfu" in which:
