@@ -124,6 +124,16 @@ def inflect_oov(word: str, lookup) -> Optional[List[str]]:
     (suffix, stem) decomposition hits the lexicon.
     """
     w = word.lower()
+    # Possessives: 's voices like the plural suffix; bare trailing
+    # apostrophe (plural possessive) adds nothing to an -s form.
+    if w.endswith("'s") and len(w) > 2:
+        phones = lookup(w[:-2]) or inflect_oov(w[:-2], lookup)
+        if phones:
+            return _plural_phones(list(phones))
+    if w.endswith("'") and len(w) > 1:
+        phones = lookup(w[:-1]) or inflect_oov(w[:-1], lookup)
+        if phones:
+            return list(phones)
     # Order matters: longest suffixes first so "-iness"/"-ingly" style
     # stacks resolve greedily from the end.
     # cries/carried: the stem restores -y; resolve those eagerly so a

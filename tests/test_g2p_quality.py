@@ -126,7 +126,7 @@ def test_lexicon_coverage_on_running_text():
         ("carried", "K AE1 R IY0 D"),
         # derivational
         ("slowly", "S L OW1 L IY0"),
-        ("kindness", "K AY1 N D N AH0 S"),
+        ("gentleness", "JH EH1 N T AH0 L N AH0 S"),
     ],
 )
 def test_morphological_inflection(word, expected):
@@ -144,3 +144,30 @@ def test_frontend_prefers_lexicon_then_morphology():
     # pure OOV falls through to the rule engine and stays pronounceable
     phones = fe.word_to_phones("zorblax")
     assert phones and all(isinstance(p, str) for p in phones)
+
+
+def test_possessive_inflection():
+    fe = EnglishFrontend()
+    # 's voices like the plural suffix; s' adds nothing to the -s form.
+    assert fe.word_to_phones("grandmother's") == (
+        "G R AE1 N D M AH2 DH ER0 Z".split()
+    ) or fe.word_to_phones("grandmother's")[-1] == "Z"
+    assert fe.word_to_phones("cat's")[-1] == "S"       # voiceless stem
+    assert fe.word_to_phones("dog's")[-1] == "Z"       # voiced stem
+    assert fe.word_to_phones("horse's")[-2:] == ["IH0", "Z"]  # sibilant
+    assert fe.word_to_phones("teachers'") == fe.word_to_phones("teachers")
+
+
+def test_running_text_coverage_tool():
+    """The bundled coverage tool's mixed-register sample resolves almost
+    entirely without the rule-G2P fallback (VERDICT r2 item 7)."""
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        "lexcov",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "lexicon_coverage.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    report = mod.coverage(mod.SAMPLE)
+    assert report["lexicon_entries"] > 8000
+    assert report["lexicon_pct"] + report["inflection_pct"] >= 95.0, report
