@@ -102,29 +102,44 @@ def pva_loss(
     rng: jax.Array,
     sigma_min: float,
     rngs: Dict[str, jax.Array] | None = None,
+    loss_norm: str = "masked",
+    _t_override: jnp.ndarray | None = None,
+    _noise_override: tuple | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """OT-CFM losses on log-durations (pva.py:54-86).
 
-    Masked-MSE means are taken over valid positions (the reference averages
-    over the padded buffer, which couples the loss scale to batch padding;
-    under bucketing that would be bucket-dependent, so valid-mean is used).
+    ``loss_norm="masked"`` (default) takes MSE means over valid positions;
+    ``"reference"`` reproduces the reference's ``F.mse_loss`` over the full
+    padded buffer (pva.py:70,78 — the loss scale then depends on the
+    buffer/bucket length, as it does on batch-max length in the reference).
+    ``_t_override``/``_noise_override`` are parity-test hooks that replace
+    the sampled t / (dur, sil) noise with given tensors.
     """
     b, l = phone_dur.shape
     rng_t, rng_d0, rng_s0 = jax.random.split(rng, 3)
     t = jax.random.uniform(rng_t, (b, 1), dtype=jnp.float32)
+    if _t_override is not None:
+        t = _t_override
 
     valid = (~src_mask).astype(jnp.float32)
-    denom = jnp.maximum(valid.sum(), 1.0)
+    if loss_norm == "reference":
+        denom = jnp.float32(b * l)
+    else:
+        denom = jnp.maximum(valid.sum(), 1.0)
 
-    def interpolate(target_dur, noise_rng):
+    def interpolate(target_dur, noise_rng, noise_fixed):
         x1 = jnp.log(target_dur.astype(jnp.float32) + 1.0)
-        x0 = jax.random.normal(noise_rng, x1.shape, dtype=jnp.float32)
+        if noise_fixed is not None:
+            x0 = noise_fixed
+        else:
+            x0 = jax.random.normal(noise_rng, x1.shape, dtype=jnp.float32)
         xt = t * x1 + (1.0 - (1.0 - sigma_min) * t) * x0
         u = (x1 - (1.0 - sigma_min) * x0) * valid
         return xt, u
 
-    dur_xt, dur_u = interpolate(phone_dur, rng_d0)
-    sil_xt, sil_u = interpolate(sil_dur, rng_s0)
+    n_dur, n_sil = _noise_override if _noise_override is not None else (None, None)
+    dur_xt, dur_u = interpolate(phone_dur, rng_d0, n_dur)
+    sil_xt, sil_u = interpolate(sil_dur, rng_s0, n_sil)
     v_dur, v_sil = module.apply(
         params, dur_xt, sil_xt, enc_out, t[:, 0], src_mask,
         method="pva_fields",

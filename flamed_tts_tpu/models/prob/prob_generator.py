@@ -290,22 +290,45 @@ def prob_loss(
     pad_mask: jnp.ndarray,
     rng: jax.Array,
     sigma_min: float,
+    loss_norm: str = "masked",
+    _t_override: jnp.ndarray | None = None,
+    _noise_override: jnp.ndarray | None = None,
 ) -> Dict[str, jnp.ndarray]:
-    """fm_loss + anchor_loss (prob_generator.py:414-432), valid-mean."""
+    """fm_loss + anchor_loss (prob_generator.py:414-432).
+
+    ``loss_norm="masked"`` (default) means over valid positions;
+    ``"reference"`` reproduces the reference's ``F.mse_loss`` over the
+    full padded (B, L, C) buffer (prob_generator.py:424,428).
+    ``_t_override``/``_noise_override`` are parity-test hooks.
+    """
     cond = module.apply(params, prior_hiddens, pad_mask, method="encode_condition")
     b, l, c = cond.shape
     rng_t, rng_n = jax.random.split(rng)
     t = jax.random.uniform(rng_t, (b, l, 1), dtype=jnp.float32)
-    x0 = jax.random.normal(rng_n, cond.shape, dtype=jnp.float32) + cond
+    if _t_override is not None:
+        t = _t_override
+    noise = (
+        _noise_override
+        if _noise_override is not None
+        else jax.random.normal(rng_n, cond.shape, dtype=jnp.float32)
+    )
+    x0 = noise + cond
     xt = t * x1 + (1.0 - (1.0 - sigma_min) * t) * x0
 
     valid = (~pad_mask)[:, :, None].astype(jnp.float32)
-    denom = jnp.maximum(valid.sum() * c, 1.0)
+    if loss_norm == "reference":
+        denom = jnp.float32(b * l * c)
+    else:
+        denom = jnp.maximum(valid.sum() * c, 1.0)
 
     dx = (x1 - (1.0 - sigma_min) * x0) * valid
     vt = module.apply(params, xt, t[..., 0], spk, pad_mask, method="denoise") * valid
     fm_loss = jnp.sum((vt - dx) ** 2) / denom
 
     x1_est = (xt + (1.0 - (1.0 - sigma_min) * t) * vt) * valid
-    anchor_loss = jnp.sum((x1_est - x1 * valid) ** 2) / denom
+    # The reference compares the masked estimate against the RAW x1 buffer
+    # (prob_generator.py:428); pads contribute 0 only because collated embs
+    # are zero-padded.  The masked mode masks x1 explicitly instead.
+    x1_ref = x1 if loss_norm == "reference" else x1 * valid
+    anchor_loss = jnp.sum((x1_est - x1_ref) ** 2) / denom
     return {"fm_loss": fm_loss, "anchor_loss": anchor_loss}

@@ -3,11 +3,16 @@
 Reference semantics (flamed.py:48-87):
   total = dur_loss + sil_loss + prior_loss + fm_loss + anchor_loss
 
-One deliberate deviation, documented in SURVEY §7 terms: every mean is a
-*valid-position* mean rather than the reference's padded-buffer mean.
-The reference's batch padding couples its loss scale to the batch's max
-length (and trains the prior head to predict the pad class); bucketed
-padding would amplify that artifact, so masked means are used throughout.
+Two normalization modes (``loss_norm``):
+
+* ``"masked"`` (default): every mean is a *valid-position* mean.  The
+  reference's padded-buffer mean couples its loss scale to the batch's
+  max length; bucketed padding would amplify that artifact.
+* ``"reference"``: byte-exact reproduction of the reference formulas —
+  ``F.mse_loss`` over the full padded buffer and ``F.cross_entropy``
+  including pad positions (a gradient-free log(V+1) constant each).
+  Use it to compare loss curves against a reference run at the same
+  buffer lengths (``train.py --loss-norm reference``).
 """
 
 from __future__ import annotations
@@ -27,13 +32,23 @@ def prior_ce_loss(
     logits: jnp.ndarray,   # (B, n_q, L, V+1), zero-masked at pads
     codes: jnp.ndarray,    # (B, n_q, L) int, pad = V
     tgt_mask: jnp.ndarray,  # (B, L) True = pad
+    loss_norm: str = "masked",
 ) -> jnp.ndarray:
-    """Mean per-quantizer cross-entropy (prior_generator.py:115-118),
-    averaged over valid frames."""
+    """Mean per-quantizer cross-entropy (prior_generator.py:115-118).
+
+    ``"masked"`` averages over valid frames.  ``"reference"`` reproduces
+    the reference ``F.cross_entropy`` over the whole padded buffer: pad
+    positions (zero-masked logits, pad-class target) each contribute a
+    constant log(V+1) with zero gradient (the mask multiply kills it)."""
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     picked = jnp.take_along_axis(log_probs, codes[..., None], axis=-1)[..., 0]
+    if loss_norm == "reference":
+        return -picked.mean()
     valid = (~tgt_mask)[:, None, :].astype(jnp.float32)
-    denom = jnp.maximum(valid.sum(), 1.0)
+    # The numerator broadcasts over all n_q quantizer rows; the denominator
+    # must too, so the result is the MEAN per-quantizer CE (the reference's
+    # relative loss weighting), not the sum.
+    denom = jnp.maximum(valid.sum() * logits.shape[1], 1.0)
     return -(picked * valid).sum() / denom
 
 
@@ -46,6 +61,7 @@ def compute_losses(
     sigma_min_pva: float = 1e-4,
     sigma_min_prob: float = 1e-6,
     train: bool = True,
+    loss_norm: str = "masked",
 ) -> Dict[str, jnp.ndarray]:
     """Full loss dict for one batch.
 
@@ -85,6 +101,7 @@ def compute_losses(
     losses = pva_loss(
         prior_module, params["prior"], enc_out, src_mask,
         phone_dur, sil_dur, rng_pva, sigma_min_pva, rngs=rngs2,
+        loss_norm=loss_norm,
     )
 
     # Teacher-forced length regulation (pva.py:84).
@@ -94,12 +111,12 @@ def compute_losses(
         params["prior"], lr_out, tgt_mask, prompts, prompt_lens,
         method="decode", deterministic=det, rngs=rngs3,
     )
-    losses["prior_loss"] = prior_ce_loss(logits, codes, tgt_mask)
+    losses["prior_loss"] = prior_ce_loss(logits, codes, tgt_mask, loss_norm=loss_norm)
 
     losses.update(
         prob_loss(
             prob_module, params["prob"], embs, hiddens, spks, tgt_mask,
-            rng_prob, sigma_min_prob,
+            rng_prob, sigma_min_prob, loss_norm=loss_norm,
         )
     )
     losses["total_loss"] = sum(

@@ -61,6 +61,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     sigma_min_pva: float = 1e-4,
     sigma_min_prob: float = 1e-6,
+    loss_norm: str = "masked",
 ) -> Callable:
     """The un-jitted train step (state, batch, rng) -> (state, metrics)."""
 
@@ -68,7 +69,7 @@ def make_train_step(
         losses = compute_losses(
             prior_module, prob_module, params, batch, rng,
             sigma_min_pva=sigma_min_pva, sigma_min_prob=sigma_min_prob,
-            train=True,
+            train=True, loss_norm=loss_norm,
         )
         return losses["total_loss"], losses
 

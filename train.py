@@ -45,6 +45,11 @@ def main() -> None:
                         help="Converted codec ckpts for validation audio logging ('random' ok).")
     parser.add_argument("--audio-log-after", type=int, default=1000)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--loss-norm", choices=["masked", "reference"],
+                        default="masked",
+                        help="Loss normalization: valid-position means "
+                             "(default) or the reference's padded-buffer "
+                             "means (comparable to reference loss curves).")
     args = parser.parse_args()
 
     import jax
@@ -138,7 +143,8 @@ def main() -> None:
     print(f"Mesh: data={n_data} model={n_model} on {jax.devices()}")
 
     tx, _ = make_optimizer(optimizer_cfg)
-    train_step = make_train_step(model.prior_module, model.prob_module, tx)
+    train_step = make_train_step(model.prior_module, model.prob_module, tx,
+                                 loss_norm=args.loss_norm)
     state = init_train_state(model.params, tx)
 
     logger = MetricLogger(args.exp_dir, use_wandb=args.wandb,
@@ -205,7 +211,8 @@ def main() -> None:
 
     eval_fn = jax.jit(
         lambda params, batch, rng: compute_losses(
-            model.prior_module, model.prob_module, params, batch, rng, train=False
+            model.prior_module, model.prob_module, params, batch, rng,
+            train=False, loss_norm=args.loss_norm,
         )
     )
 
