@@ -108,6 +108,7 @@ def run_training(
     audio_logger=None,
 ) -> TrainState:
     step = int(jax.device_get(state.step))
+    first_step = True
     t_last = time.time()
     for batch in train_batches:
         if step >= max_steps:
@@ -115,6 +116,19 @@ def run_training(
         rng, sub = jax.random.split(rng)
         state, metrics = jitted_step(state, shard_batch(batch, mesh), sub)
         step += 1
+
+        if first_step:
+            # Block once: time-to-first-step is the compile wall (the
+            # dominant cost on cold caches — docs/PERFORMANCE.md).
+            first_step = False
+            # A host read, not block_until_ready: the latter returns early
+            # through the axon tunnel (CLAUDE.md / memory tpu-env-quirks).
+            float(jax.device_get(metrics["total_loss"]))
+            msg = f"first step done in {time.time() - t_last:.1f}s (trace+compile+step)"
+            print(f"[train] {msg}", flush=True)
+            if logger is not None:
+                logger.log({"first_step_s": time.time() - t_last}, step)
+            t_last = time.time()
 
         if logger is not None and step % log_every == 0:
             metrics = jax.device_get(metrics)
