@@ -220,6 +220,7 @@ class BucketedCollator:
         prompt_reduced_factor: float = 0.8,
         phoneme_buckets: Sequence[int] = (64, 128, 192, 256),
         frame_buckets: Sequence[int] = (256, 512, 768, 1024, 1408),
+        prompt_buckets: Optional[Sequence[int]] = None,
         seed: Optional[int] = None,
     ):
         self.vocab_size = vocab_size
@@ -227,6 +228,13 @@ class BucketedCollator:
         self.prompt_reduced_factor = prompt_reduced_factor
         self.phoneme_buckets = list(phoneme_buckets)
         self.frame_buckets = list(frame_buckets)
+        # Without prompt buckets, the cropped prompt length varies with the
+        # batch's shortest item — a fresh jit signature per distinct crop
+        # (38 signatures over two epochs of the demo corpus; each is a full
+        # train-step compile).  Bucketing pads prompts to a static length
+        # and reports the true length via ``prompt_lens``; the prior's
+        # decode masks pad positions (prior_generator.py decode path).
+        self.prompt_buckets = list(prompt_buckets) if prompt_buckets else None
         self.rng = random.Random(seed)
 
     def _crop_prompts(self, codes_list: List[np.ndarray]) -> np.ndarray:
@@ -240,7 +248,20 @@ class BucketedCollator:
         # Content quantizers carry the transcript: mask rows [1:3] so the
         # prompt provides prosody/residual/timbre only (dataset.py:430).
         prompts[:, 1:3, :] = self.vocab_size
-        return prompts
+        if self.prompt_buckets is not None:
+            pb = pick_bucket(crop, self.prompt_buckets)
+            if pb > crop:
+                pad = np.full(
+                    (prompts.shape[0], prompts.shape[1], pb - crop),
+                    self.vocab_size, np.int32,
+                )
+                prompts = np.concatenate([prompts, pad], axis=-1)
+            elif pb < crop:
+                # Same policy as the inference sampler (sampler.py): the
+                # largest bucket caps the prompt; shapes stay static.
+                prompts = prompts[:, :, :pb]
+                crop = pb
+        return prompts, crop
 
     def __call__(self, items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
         b = len(items)
@@ -266,7 +287,7 @@ class BucketedCollator:
             phone_dur[i, :n] = item["phone_dur"][:n]
             sil_dur[i, :n] = item["sil_dur"][:n]
 
-        prompts = self._crop_prompts([np.asarray(it["code"]) for it in items])
+        prompts, crop = self._crop_prompts([np.asarray(it["code"]) for it in items])
         spks = np.stack([it["spk"] for it in items]).astype(np.float32)
 
         return {
@@ -278,6 +299,7 @@ class BucketedCollator:
             "sil_dur": sil_dur,
             "embs": embs,
             "prompts": prompts,
+            "prompt_lens": np.full((b,), crop, np.int32),
             "spks": spks,
         }
 

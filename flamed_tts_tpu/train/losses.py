@@ -106,7 +106,12 @@ def compute_losses(
 
     # Teacher-forced length regulation (pva.py:84).
     lr_out, _ = length_regulate(enc_out, phone_dur, sil_dur, x_len, lf)
-    prompt_lens = jnp.full((b,), p, dtype=jnp.int32)
+    # Collators with prompt buckets pad the prompt buffer and report the
+    # true length; the prior decode masks the pad tail.  Legacy batches
+    # (no "prompt_lens") are fully valid by construction.
+    prompt_lens = batch.get("prompt_lens")
+    if prompt_lens is None:
+        prompt_lens = jnp.full((b,), p, dtype=jnp.int32)
     hiddens, logits = prior_module.apply(
         params["prior"], lr_out, tgt_mask, prompts, prompt_lens,
         method="decode", deterministic=det, rngs=rngs3,

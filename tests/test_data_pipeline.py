@@ -58,3 +58,59 @@ def test_batch_iterator_drop_last():
     )
     assert len(batches) == 3
     assert batches[-1]["phonemes"].shape[0] == 1
+
+
+def test_collate_prompt_buckets_static_shape():
+    """prompt_buckets pads the crop to a static length with masked codes
+    and reports the true crop via prompt_lens (one jit signature per
+    bucket triple — the round-3 compile-churn fix)."""
+    rng = np.random.RandomState(3)
+    collator = BucketedCollator(vocab_size=1024, prompt_max_len=40,
+                                prompt_reduced_factor=0.8,
+                                prompt_buckets=[48], seed=0)
+    batch = collator([_item(rng, 8, 60), _item(rng, 8, 45)])
+    prompts = batch["prompts"]
+    assert prompts.shape == (2, 6, 48)              # static bucket
+    np.testing.assert_array_equal(batch["prompt_lens"], [32, 32])
+    assert np.all(prompts[:, :, 32:] == 1024)       # pad tail masked
+    assert np.any(prompts[:, 0, :32] != 1024)       # real codes kept
+
+    # Crop above the largest bucket truncates (sampler.py policy) so the
+    # shape stays static.
+    collator = BucketedCollator(vocab_size=1024, prompt_max_len=40,
+                                prompt_reduced_factor=0.8,
+                                prompt_buckets=[24], seed=0)
+    batch = collator([_item(rng, 8, 60), _item(rng, 8, 45)])
+    assert batch["prompts"].shape == (2, 6, 24)
+    np.testing.assert_array_equal(batch["prompt_lens"], [24, 24])
+
+
+def test_prompt_pad_is_loss_invariant():
+    """Padding the prompt buffer with masked codes + prompt_lens must not
+    change any loss (the prior decode masks the tail)."""
+    import jax
+    import jax.numpy as jnp
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from test import build_cfg, fabricate_dummy_training_batch
+    from flamed_tts_tpu.models.flamed import Flamed
+    from flamed_tts_tpu.train.losses import compute_losses
+
+    cfg = build_cfg(small=True)
+    model = Flamed(cfg, rng=jax.random.PRNGKey(0))
+    batch = fabricate_dummy_training_batch(np.random.RandomState(0), cfg)
+    key = jax.random.PRNGKey(1)
+    base = compute_losses(model.prior_module, model.prob_module, model.params,
+                          batch, key, train=False)
+    b, n_q, p = batch["prompts"].shape
+    vocab = cfg["prior_generator"]["codec"]["vocab_size"]
+    pad = jnp.full((b, n_q, 24), vocab, jnp.int32)
+    batch2 = dict(batch)
+    batch2["prompts"] = jnp.concatenate([batch["prompts"], pad], axis=-1)
+    batch2["prompt_lens"] = jnp.full((b,), p, jnp.int32)
+    padded = compute_losses(model.prior_module, model.prob_module, model.params,
+                            batch2, key, train=False)
+    for k in base:
+        np.testing.assert_allclose(float(base[k]), float(padded[k]),
+                                   rtol=2e-4, atol=1e-5, err_msg=k)

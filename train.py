@@ -125,6 +125,9 @@ def main() -> None:
         prompt_reduced_factor=float(dataset_cfg["prompt_reduced_factor"]),
         phoneme_buckets=dataset_cfg.get("phoneme_buckets", (64, 128, 192, 256)),
         frame_buckets=dataset_cfg.get("frame_buckets", (256, 512, 768, 1024, 1408)),
+        # Static prompt shapes: without these, every distinct batch-min
+        # crop length is a fresh train-step compile (docs/TRAINING.md).
+        prompt_buckets=dataset_cfg.get("prompt_buckets"),
         seed=args.seed,
     )
 
