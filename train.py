@@ -208,8 +208,11 @@ def main() -> None:
             epoch += 1
 
     def make_val_batches():
+        # drop_last: a partial final val batch would be a SECOND
+        # forward-compile signature (batch-dim change); validation loss
+        # over the dropped remainder is not worth a full-size compile.
         return batch_iterator(
-            validset, collator, batch_size, shuffle=False, drop_last=False
+            validset, collator, batch_size, shuffle=False, drop_last=True
         )
 
     eval_fn = jax.jit(
