@@ -36,12 +36,69 @@ TEXT = (
 )
 
 
+_PROBE_SRC = """
+import jax, jax.numpy as jnp
+val = float(jax.device_get(jnp.ones((4,)).sum()))
+assert val == 4.0, val
+print("PLATFORM=" + jax.devices()[0].platform)
+"""
+
+
+def probe_backend(timeout_s: int = 180, metric: str = "rtf_single_utt_nfe64") -> None:
+    """Fail fast and diagnosably if the TPU backend is down.
+
+    The axon tunnel has two observed failure modes: RuntimeError("Unable
+    to initialize backend") and an indefinite hang inside backend init
+    (which holds the GIL, so in-process SIGALRM never fires).  Both burn
+    the whole bench run and leave a raw stack trace in the driver log.
+    Instead: probe in a SUBPROCESS with a hard timeout and emit ONE
+    machine-readable JSON line on failure so automation can tell
+    "chip down" from "code regression".
+    """
+    import subprocess
+
+    def _emit_and_exit(kind: str, detail: str) -> None:
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": None,
+                    "unit": "rtf",
+                    "vs_baseline": None,
+                    "error": kind,
+                    "detail": detail[:200],
+                }
+            )
+        )
+        sys.exit(2)
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        _emit_and_exit("tpu_unavailable", f"backend init hang > {timeout_s}s")
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()[-1:] or ["no output"]
+        _emit_and_exit("tpu_unavailable", tail[0])
+    platform = proc.stdout.strip().splitlines()[-1].removeprefix("PLATFORM=")
+    if platform == "cpu" and not os.environ.get("BENCH_ALLOW_CPU"):
+        # the axon plugin registers platforms "axon,cpu" — a silent
+        # fallback to cpu would time the wrong backend
+        _emit_and_exit("tpu_unavailable", "fell back to cpu platform")
+    print(f"[bench] backend up: {platform}", file=sys.stderr)
+
+
 def main() -> None:
     import jax
 
     from flamed_tts_tpu.runtime.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    probe_backend()
 
     precision = os.environ.get("BENCH_PRECISION", "bf16")
     if precision == "fp32":
@@ -132,25 +189,29 @@ def main() -> None:
         seconds.append(len(out["wav"]) / 16000.0)
 
     # Robust aggregate: drop runs blown up by transient host activity
-    # (> 1.3x the fastest), average the rest.  On an idle host this is a
-    # no-op; on a dirty host it recovers the uncontended figure and the
-    # warning above flags the run as suspect anyway.
+    # (> 1.3x the fastest), keeping each run's time PAIRED with its own
+    # audio seconds (each seed samples different durations, so dropping a
+    # time while keeping its seconds would skew the ratio).  On an idle
+    # host this is a no-op; on a dirty host it recovers the uncontended
+    # figure and the warning above flags the run as suspect anyway.
     t_min = min(times)
-    kept = [t for t in times if t <= 1.3 * t_min]
-    dropped = len(times) - len(kept)
+    kept_pairs = [(t, s) for t, s in zip(times, seconds) if t <= 1.3 * t_min]
+    dropped = len(times) - len(kept_pairs)
     if dropped:
         print(
             f"[bench] dropped {dropped}/{len(times)} outlier runs "
             f"(min {t_min:.3f}s, all: {[round(t, 3) for t in times]})",
             file=sys.stderr,
         )
-    audio_seconds = float(np.mean(seconds))
+    kept_t = sum(t for t, _ in kept_pairs)
+    kept_s = sum(s for _, s in kept_pairs)
     print(
-        f"[bench] audio={audio_seconds:.2f}s per-run={np.mean(kept):.3f}s "
+        f"[bench] audio={kept_s / len(kept_pairs):.2f}s "
+        f"per-run={kept_t / len(kept_pairs):.3f}s "
         f"(precision={precision}, load1={load1:.2f}, probe={floor_ms:.0f}ms)",
         file=sys.stderr,
     )
-    rtf = float(np.mean(kept) / audio_seconds)
+    rtf = float(kept_t / kept_s)
     print(
         json.dumps(
             {
@@ -158,6 +219,11 @@ def main() -> None:
                 "value": round(rtf, 5),
                 "unit": "rtf",
                 "vs_baseline": round(TARGET_RTF / rtf, 3),
+                "precision": precision,
+                "contended": contended,
+                "load1": round(load1, 2),
+                "probe_ms": round(floor_ms, 1),
+                "dropped_runs": dropped,
             }
         )
     )

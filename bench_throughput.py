@@ -32,6 +32,10 @@ TEXTS = [
 
 
 def main() -> None:
+    from bench import probe_backend
+
+    probe_backend(metric="rtf_batch_nfe128")
+
     import jax
 
     from flamed_tts_tpu.runtime.compile_cache import enable_persistent_cache

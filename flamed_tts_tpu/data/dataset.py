@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import os
 import random
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -237,7 +237,7 @@ class BucketedCollator:
         self.prompt_buckets = list(prompt_buckets) if prompt_buckets else None
         self.rng = random.Random(seed)
 
-    def _crop_prompts(self, codes_list: List[np.ndarray]) -> np.ndarray:
+    def _crop_prompts(self, codes_list: List[np.ndarray]) -> Tuple[np.ndarray, int]:
         max_len = min([c.shape[1] for c in codes_list] + [self.prompt_max_len])
         crop = max(1, int(self.prompt_reduced_factor * max_len))
         segments = []
