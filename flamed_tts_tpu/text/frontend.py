@@ -195,11 +195,22 @@ class EnglishFrontend:
         self.builtin = read_lexicon(_BUILTIN_LEXICON) if use_builtin_lexicon else {}
         self.cleaners = list(cleaners)
         self._g2p = _load_optional_g2p()
+        self._neural = None
+        self._neural_tried = False
 
     def _lookup(self, word: str) -> Optional[List[str]]:
         key = word.lower()
         hit = self.lexicon.get(key) or self.builtin.get(key)
         return list(hit) if hit else None
+
+    def _neural_g2p(self):
+        """Lazy-load the trained neural G2P (None if weights absent)."""
+        if not self._neural_tried:
+            self._neural_tried = True
+            from flamed_tts_tpu.text.neural_g2p import try_load_neural_g2p
+
+            self._neural = try_load_neural_g2p()
+        return self._neural
 
     def word_to_phones(self, word: str) -> List[str]:
         hit = self._lookup(word)
@@ -208,8 +219,16 @@ class EnglishFrontend:
         derived = inflect_oov(word, self._lookup)
         if derived is not None:
             return derived
+        # OOV fallback chain, best model first: g2p_en when installed
+        # (reference parity: flamed/models/flamed.py:261-264), then the
+        # repo-trained neural G2P, then letter-to-sound rules.
         if self._g2p is not None:
             return [p for p in self._g2p(word) if p != " "]
+        neural = self._neural_g2p()
+        if neural is not None:
+            phones = neural(word)
+            if phones:
+                return phones
         return rule_g2p(word)
 
     def text_to_phone_string(self, text: str) -> str:
