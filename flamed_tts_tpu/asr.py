@@ -1,0 +1,270 @@
+"""Phoneme recognizer for round-trip evaluation (WER).
+
+The reference's Makefile `eval` target is a placeholder and no ASR model
+ships in this offline environment, so BASELINE.md's WER metric was
+permanently null.  This module provides a compact framewise phoneme
+classifier over log-mel features (ops/melspec.py, hop 200 = one frame
+per codec frame), trained on the fabricated corpus with its exact
+MFA-style alignments (tools/train_asr.py), plus:
+
+* run-collapse phone decoding with a minimum-run-length filter, and
+* an honest free-decoding word beam over a lexicon trie (no access to
+  the reference transcript), so `tools/evaluate.py` can report a real
+  word error rate on synthesized audio.
+
+Architecture: Dense(80->H) -> N x [dilated Conv1d(k5) + LayerNorm +
+GELU residual] -> Dense(n_classes).  Dilations 1,2,4,8,... give a ~2.5 s
+receptive field at 80 fps; phones in the fabricated corpus are locally
+identifiable by construction, so a framewise classifier (rather than an
+alignment-free CTC) is the right-sized model — the known alignments are
+the supervision, synthesized audio is decoded the same framewise way.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# Class inventory: blank/sil + base (stress-stripped) ARPAbet.
+BASE_PHONES = [
+    "AA", "AE", "AH", "AO", "AW", "AY", "B", "CH", "D", "DH", "EH", "ER",
+    "EY", "F", "G", "HH", "IH", "IY", "JH", "K", "L", "M", "N", "NG",
+    "OW", "OY", "P", "R", "S", "SH", "T", "TH", "UH", "UW", "V", "W",
+    "Y", "Z", "ZH",
+]
+SIL = 0  # covers sil/sp/spn/empty
+PHONE_TO_ID: Dict[str, int] = {p: i + 1 for i, p in enumerate(BASE_PHONES)}
+N_CLASSES = len(BASE_PHONES) + 1
+
+D_MODEL = 192
+N_LAYERS = 6
+KERNEL = 5
+
+
+def phone_label(text: str) -> int:
+    return PHONE_TO_ID.get(text.rstrip("012"), SIL)
+
+
+# --- model (pure functions over a params dict) ---------------------------
+
+
+def init_params(rng: np.random.RandomState) -> Dict:
+    def dense(n_in, n_out):
+        return (rng.randn(n_in, n_out) / np.sqrt(n_in)).astype(np.float32)
+
+    params: Dict = {
+        "in_w": dense(80, D_MODEL),
+        "in_b": np.zeros(D_MODEL, np.float32),
+        "layers": [],
+        "out_w": dense(D_MODEL, N_CLASSES),
+        "out_b": np.zeros(N_CLASSES, np.float32),
+    }
+    for i in range(N_LAYERS):
+        params["layers"].append(
+            {
+                # depthwise-separable dilated conv: (K, D) depthwise + 1x1
+                "dw": (rng.randn(KERNEL, D_MODEL) * 0.1).astype(np.float32),
+                "pw_w": dense(D_MODEL, D_MODEL),
+                "pw_b": np.zeros(D_MODEL, np.float32),
+                "ln_g": np.ones(D_MODEL, np.float32),
+                "ln_b": np.zeros(D_MODEL, np.float32),
+            }
+        )
+    return params
+
+
+def forward(params, xp, mel):  # mel: (B, T, 80) log-mel
+    """Frame logits (B, T, N_CLASSES)."""
+    x = mel @ params["in_w"] + params["in_b"]
+    for i, layer in enumerate(params["layers"]):
+        dil = 2 ** min(i, 5)
+        h = _layernorm(xp, x, layer["ln_g"], layer["ln_b"])
+        h = _dilated_dwconv(xp, h, layer["dw"], dil)
+        h = _gelu(xp, h) @ layer["pw_w"] + layer["pw_b"]
+        x = x + h
+    return x @ params["out_w"] + params["out_b"]
+
+
+def _gelu(xp, x):
+    return 0.5 * x * (1.0 + xp.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x)))
+
+
+def _layernorm(xp, x, g, b, eps=1e-5):
+    mu = x.mean(axis=-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+    return (x - mu) / xp.sqrt(var + eps) * g + b
+
+
+def _dilated_dwconv(xp, x, w, dilation):
+    """Depthwise conv along time, SAME padding.  x: (B,T,D), w: (K,D)."""
+    K = w.shape[0]
+    pad = (K // 2) * dilation
+    xpad = xp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    T = x.shape[1]
+    out = xp.zeros_like(x)
+    for k in range(K):  # K=5 static: unrolled adds, XLA fuses these
+        out = out + xpad[:, k * dilation : k * dilation + T, :] * w[k]
+    return out
+
+
+# --- decoding -------------------------------------------------------------
+
+
+def collapse_frames(frame_ids: np.ndarray, min_run: int = 2) -> List[int]:
+    """Framewise argmax ids -> phone sequence (drop sil, short runs)."""
+    seq: List[int] = []
+    run_id, run_len = -1, 0
+    for fid in list(frame_ids) + [-2]:
+        if fid == run_id:
+            run_len += 1
+            continue
+        if run_id > SIL and run_len >= min_run:
+            seq.append(int(run_id))
+        run_id, run_len = fid, 1
+    return seq
+
+
+class LexiconTrie:
+    """Phone-sequence trie over a word list for free word decoding."""
+
+    def __init__(self, words_to_phones: Dict[str, Sequence[str]]):
+        self.root: Dict = {}
+        for word, phones in words_to_phones.items():
+            node = self.root
+            for pid in (phone_label(p) for p in phones):
+                if pid == SIL:
+                    continue
+                node = node.setdefault(pid, {})
+            node.setdefault("$", []).append(word)
+
+
+def beam_decode_words(
+    phone_ids: List[int],
+    trie: LexiconTrie,
+    beam: int = 24,
+    sub_cost: float = 1.0,
+    indel_cost: float = 1.0,
+    word_bonus: float = 0.4,
+) -> List[str]:
+    """Segment a phone sequence into lexicon words (weighted trie beam).
+
+    State: (position in hyp phones, trie node, words so far, cost).
+    Transitions: consume phone matching a trie edge (0), substitute
+    (sub_cost), skip a hyp phone (indel), advance trie without consuming
+    (indel), emit word at a terminal node (-word_bonus, back to root).
+    Free decoding: never sees the reference transcript.
+    """
+    Trie = Dict
+    start = (0.0, 0, id(trie.root), trie.root, ())
+    frontier: List[Tuple[float, int, int, Trie, tuple]] = [start]
+    best_done: Optional[Tuple[float, tuple]] = None
+    T = len(phone_ids)
+    for _ in range(3 * T + 8):
+        nxt: Dict[Tuple[int, int], Tuple[float, int, int, Trie, tuple]] = {}
+
+        def push(cost, pos, node, words):
+            key = (pos, id(node))
+            old = nxt.get(key)
+            if old is None or cost < old[0]:
+                nxt[key] = (cost, pos, id(node), node, words)
+
+        for cost, pos, _, node, words in frontier:
+            # emit a finished word
+            if "$" in node:
+                word = node["$"][0]
+                new_words = words + (word,)
+                if pos == T:
+                    cand = (cost - word_bonus, new_words)
+                    if best_done is None or cand[0] < best_done[0]:
+                        best_done = cand
+                push(cost - word_bonus, pos, trie.root, new_words)
+            if pos < T:
+                pid = phone_ids[pos]
+                hit = node.get(pid)
+                if hit is not None:  # match
+                    push(cost, pos + 1, hit, words)
+                for edge, child in node.items():  # substitution
+                    if edge in ("$", pid):
+                        continue
+                    push(cost + sub_cost, pos + 1, child, words)
+                push(cost + indel_cost, pos + 1, node, words)  # skip hyp phone
+            for edge, child in node.items():  # trie advance (deletion)
+                if edge != "$":
+                    push(cost + indel_cost, pos, child, words)
+        if not nxt:
+            break
+        frontier = sorted(nxt.values())[:beam]
+        if best_done is not None and frontier and frontier[0][0] > best_done[0] + 4.0:
+            break
+    if best_done is not None:
+        return list(best_done[1])
+    # fall back to the cheapest frontier's words
+    return list(frontier[0][4]) if frontier else []
+
+
+# --- weights io -----------------------------------------------------------
+
+_DEFAULT_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "lexicon", "asr_weights.npz"
+)
+
+
+def save_weights(params: Dict, path: str) -> None:
+    flat = {}
+    flat["in_w"], flat["in_b"] = params["in_w"], params["in_b"]
+    flat["out_w"], flat["out_b"] = params["out_w"], params["out_b"]
+    for i, layer in enumerate(params["layers"]):
+        for key, val in layer.items():
+            flat[f"layers/{i}/{key}"] = np.asarray(val)
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in flat.items()})
+
+
+def load_weights(path: Optional[str] = None) -> Optional[Dict]:
+    path = path or _DEFAULT_WEIGHTS
+    if not os.path.isfile(path):
+        return None
+    with np.load(path) as data:
+        params: Dict = {
+            "in_w": data["in_w"], "in_b": data["in_b"],
+            "out_w": data["out_w"], "out_b": data["out_b"],
+            "layers": [],
+        }
+        i = 0
+        while f"layers/{i}/dw" in data.files:
+            params["layers"].append(
+                {k: data[f"layers/{i}/{k}"] for k in ("dw", "pw_w", "pw_b", "ln_g", "ln_b")}
+            )
+            i += 1
+    return params
+
+
+class PhonemeRecognizer:
+    """wav -> (phone sequence, free-decoded words)."""
+
+    def __init__(self, weights_path: Optional[str] = None, lexicon: Optional[Dict] = None):
+        params = load_weights(weights_path)
+        if params is None:
+            raise FileNotFoundError(weights_path or _DEFAULT_WEIGHTS)
+        self.params = params
+        if lexicon is None:
+            from flamed_tts_tpu.text.frontend import read_lexicon, _BUILTIN_LEXICON
+
+            lexicon = read_lexicon(_BUILTIN_LEXICON)
+        self.trie = LexiconTrie(lexicon)
+
+    def frame_ids(self, wav: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from flamed_tts_tpu.ops.melspec import mel_spectrogram
+
+        mel = np.asarray(mel_spectrogram(jnp.asarray(wav[None, :])))[0].T  # (T, 80)
+        logits = forward(self.params, np, mel[None].astype(np.float32))[0]
+        return np.argmax(logits, axis=-1)
+
+    def transcribe(self, wav: np.ndarray) -> Tuple[List[str], str]:
+        ids = collapse_frames(self.frame_ids(wav))
+        phones = [BASE_PHONES[i - 1] for i in ids]
+        words = beam_decode_words(ids, self.trie)
+        return phones, " ".join(words)

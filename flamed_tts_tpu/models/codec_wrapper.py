@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flamed_tts_tpu.models.facodec.decoder import analyze, synthesize
+from flamed_tts_tpu.models.facodec.decoder import analyze, synthesize, vq2emb
 from flamed_tts_tpu.models.facodec.encoder import encoder_forward, encoder_hop_length
 from flamed_tts_tpu.ops.masking import mask_from_lengths
 from flamed_tts_tpu.runtime.buckets import DEFAULT_WAV_SECOND_BUCKETS, pick_bucket
@@ -142,3 +142,33 @@ class FaCodec:
     def decode(self, latents: jnp.ndarray, timbre: jnp.ndarray) -> jnp.ndarray:
         """latents (B, T, 256) + timbre (B, 256) -> wav (B, T*hop_dec, 1)."""
         return self._synthesize(self.dec_params, latents, timbre)
+
+    def round_trip(self, wav: np.ndarray) -> np.ndarray:
+        """wav (T,) -> decode(vq2emb(analyze(encode(wav)))) (T',) float32.
+
+        The full analysis-synthesis loop (reference facodec.py:509-533 +
+        630-638).  Used by tools/train_asr.py to expose the recognizer to
+        the codec-decoder output domain, and by codec round-trip tests.
+        """
+        if not hasattr(self, "_round_trip_fn"):
+            def _rt(enc_params, dec_params, wav_b, pad_mask):
+                latents = encoder_forward(
+                    enc_params, wav_b, up_ratios=self.up_ratios_enc
+                )
+                codes, timbre = analyze(dec_params, latents, pad_mask)
+                emb = vq2emb(dec_params, codes)
+                return synthesize(
+                    dec_params, emb, timbre, up_ratios=self.up_ratios_dec
+                )
+
+            self._round_trip_fn = jax.jit(_rt)
+        padded, n_frames = self.pad_prompt_wav(wav)
+        pad_mask = mask_from_lengths(
+            jnp.asarray([n_frames], dtype=jnp.int32), len(padded) // self.hop
+        )
+        out = self._round_trip_fn(
+            self.enc_params, self.dec_params,
+            jnp.asarray(padded)[None, :, None], pad_mask,
+        )
+        out_h = np.asarray(jax.device_get(out), dtype=np.float32)[0, :, 0]
+        return out_h[: n_frames * self.hop]

@@ -88,6 +88,10 @@ def main() -> None:
                         help="Converted codec .npz dir ('random' for random init).")
     parser.add_argument("--asr-cmd", default=None,
                         help="Shell command template '{wav}' -> transcript on stdout.")
+    parser.add_argument("--asr-ckpt", default=None,
+                        help="Weights for the in-process phoneme recognizer "
+                             "(flamed_tts_tpu/asr.py); 'default' uses the "
+                             "committed lexicon/asr_weights.npz.")
     parser.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
     args = parser.parse_args()
 
@@ -118,7 +122,15 @@ def main() -> None:
             target, prompt, text = line.split("|", 2)
             entries.append((target, prompt, text))
 
-    sims, sims_mel, mel_l2s, wers, durations = [], [], [], [], []
+    sims, sims_mel, mel_l2s, wers, pers, durations = [], [], [], [], [], []
+    recognizer = frontend = None
+    if args.asr_ckpt:
+        from flamed_tts_tpu.asr import PhonemeRecognizer
+        from flamed_tts_tpu.text.frontend import EnglishFrontend
+
+        ckpt = None if args.asr_ckpt == "default" else args.asr_ckpt
+        recognizer = PhonemeRecognizer(ckpt)
+        frontend = EnglishFrontend()
     n_missing = 0
     for target, prompt, text in entries:
         synth_path = os.path.join(args.synth_dir, target)
@@ -154,6 +166,19 @@ def main() -> None:
                 capture_output=True, text=True,
             ).stdout.strip()
             wers.append(word_error_rate(text, hyp))
+        elif recognizer is not None:
+            phones, hyp = recognizer.transcribe(synth)
+            wers.append(word_error_rate(text, hyp))
+            # phone error rate against the frontend's phonemization of
+            # the input text (stress-stripped), a finer-grained signal
+            ref_phones = [
+                p.rstrip("012")
+                for w in text.split()
+                for p in frontend.word_to_phones(w)
+            ]
+            pers.append(
+                _levenshtein(phones, ref_phones) / max(len(ref_phones), 1)
+            )
 
     report: Dict = {
         "n_evaluated": len(durations),
@@ -163,6 +188,7 @@ def main() -> None:
         "speaker_similarity_melstats": round(float(np.mean(sims_mel)), 4) if sims_mel else None,
         "mel_l2": round(float(np.mean(mel_l2s)), 4) if mel_l2s else None,
         "wer": round(float(np.mean(wers)), 4) if wers else None,
+        "per": round(float(np.mean(pers)), 4) if pers else None,
     }
     print(json.dumps(report))
 
