@@ -114,11 +114,14 @@ class BucketedSampler:
         if decode_audio:
             from flamed_tts_tpu.models.facodec.decoder import synthesize
 
-            # fp32 on the wire regardless of param precision (hosts write
-            # float WAVs; numpy has no native bf16)
-            wav = synthesize(
-                dec_params, latents, timbres.astype(latents.dtype)
-            ).astype(jnp.float32)
+            wav = synthesize(dec_params, latents, timbres.astype(latents.dtype))
+            # int16 PCM on the wire: the host writes 16-bit WAVs anyway
+            # (utils/audio.py::save_wav applies this exact quantization),
+            # and fp32 would cost 2x the bytes through the ~25 ms tunnel
+            # on every sample call.
+            wav = jnp.round(
+                jnp.clip(wav.astype(jnp.float32), -1.0, 1.0) * 32767.0
+            ).astype(jnp.int16)
         return latents, hiddens, logits, tgt_len, tgt_mask, wav
 
     def _fused_impl(
@@ -403,7 +406,8 @@ class BucketedSampler:
                 "frame_bucket": latents.shape[1],
             }
             if wav_h is not None:
-                out["wav"] = wav_h
+                # inverse of the on-device int16 quantization (stage 2)
+                out["wav"] = np.asarray(wav_h, np.float32) / 32767.0
             if pad_rows:
                 out = {
                     k: (v[:b_real] if hasattr(v, "ndim") and v.ndim > 0 else v)
@@ -462,7 +466,7 @@ class BucketedSampler:
             "frame_bucket": f_bucket,
         }
         if wav is not None:
-            out["wav"] = wav
+            out["wav"] = np.asarray(jax.device_get(wav), np.float32) / 32767.0
         if pad_rows:
             out = {
                 k: (v[:b_real] if hasattr(v, "ndim") and v.ndim > 0 else v)
