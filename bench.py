@@ -112,7 +112,7 @@ def main() -> None:
 
     cfg = load_default_config()
     model = Flamed(cfg, rng=jax.random.PRNGKey(0))
-    codec = FaCodec.random_init(jax.random.PRNGKey(1))
+    codec = FaCodec.random_init(jax.random.PRNGKey(0))
     if precision == "bf16":
         model.cast_inference_params()
         codec.cast_inference_params()

@@ -50,7 +50,7 @@ def main() -> None:
 
     cfg = load_default_config()
     model = Flamed(cfg, rng=jax.random.PRNGKey(0))
-    codec = FaCodec.random_init(jax.random.PRNGKey(1))
+    codec = FaCodec.random_init(jax.random.PRNGKey(0))
     model.cast_inference_params()
 
     dg = model.params["prior"]["params"]["duration_generator"]["linear_layer"]

@@ -134,7 +134,7 @@ def get_codec(cfg, codec_dir: Optional[str]):
     from flamed_tts_tpu.models.codec_wrapper import FaCodec
 
     if codec_dir == "random":
-        return FaCodec.random_init(jax.random.PRNGKey(1))
+        return FaCodec.random_init(jax.random.PRNGKey(0))
     return FaCodec.from_pretrained(cfg["codec_cfg"], ckpt_dir=codec_dir)
 
 

@@ -67,6 +67,16 @@ program. Analysts nevertheless cautioned that currency headwinds and
 supply chain disruptions could pressure profitability in subsequent
 quarters, particularly if consumer demand weakens across European
 markets.
+
+Gabriela Okonkwo flew from Ljubljana to Reykjavik on Wednesday, changing
+planes in Copenhagen before continuing to Winnipeg. Her colleague
+Siddharth Venkataraman had already checked into the Marriott near the
+Schaumburg convention center, where delegates from Guadalajara,
+Bratislava, and Thessaloniki were debating quinoa tariffs, kombucha
+labeling, and the pronunciation of foie gras. Keynote speakers included
+Professor Nakamura of Kyoto and Dr. Przybylski of Gdansk, whose
+fjord-mapping startup Skyrdalur had recently acquired a lidar firm in
+Oaxaca.
 """
 
 
@@ -75,6 +85,10 @@ def classify(frontend: EnglishFrontend, word: str) -> str:
         return "lexicon"
     if inflect_oov(word, frontend._lookup) is not None:
         return "inflection"
+    # OOV fallback: the trained neural G2P when its weights are present
+    # (frontend.word_to_phones order), letter-to-sound rules otherwise.
+    if frontend._neural_g2p() is not None:
+        return "neural_g2p"
     return "rules"
 
 
@@ -93,13 +107,14 @@ def coverage(text: str) -> dict:
         "running_words": total,
         "lexicon_pct": round(100 * counts["lexicon"] / total, 1),
         "inflection_pct": round(100 * counts["inflection"] / total, 1),
+        "neural_g2p_pct": round(100 * counts["neural_g2p"] / total, 1),
         "rules_pct": round(100 * counts["rules"] / total, 1),
         "unique_words": len(uniq),
         "unique_lexicon_pct": round(100 * uniq_counts["lexicon"] / len(uniq), 1),
-        "unique_rules_words": sorted(
-            w for w in uniq if classify(EnglishFrontend(), w) == "rules"
+        "unique_oov_words": sorted(
+            w for w in uniq if classify(fe, w) in ("neural_g2p", "rules")
         ),
-        "lexicon_entries": len(EnglishFrontend().builtin),
+        "lexicon_entries": len(fe.builtin),
     }
 
 

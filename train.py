@@ -164,7 +164,7 @@ def main() -> None:
             from flamed_tts_tpu.models.codec_wrapper import FaCodec
             from flamed_tts_tpu.utils.audio import save_wav
 
-            codec = (FaCodec.random_init(jax.random.PRNGKey(1))
+            codec = (FaCodec.random_init(jax.random.PRNGKey(0))
                      if args.codec_dir == "random"
                      else FaCodec.from_pretrained(cfg["codec_cfg"], ckpt_dir=args.codec_dir))
             val_sample_cache = []
