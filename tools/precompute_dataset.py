@@ -45,6 +45,8 @@ def main() -> None:
     parser.add_argument("--codec-dir", default=None,
                         help="Converted codec .npz dir ('random' for smoke runs)")
     parser.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
+    parser.add_argument("--valid-n", type=int, default=18,
+                        help="Utterances for valid_manifest.txt (head of the list).")
     parser.add_argument("--sampling-rate", type=int, default=16000)
     parser.add_argument("--down-factor", type=int, default=200)
     parser.add_argument("--cleaners", nargs="+", default=["english_cleaners"])
@@ -123,7 +125,14 @@ def main() -> None:
 
     with open(os.path.join(args.out_dir, "manifest.txt"), "w", encoding="utf-8") as fout:
         fout.write("\n".join(manifest_out) + "\n")
-    print(f"Precomputed {n_done} utterances ({n_failed} failed) -> {args.out_dir}")
+    # train/valid split files (the data.yaml schema names both)
+    n_valid = max(1, min(args.valid_n, len(manifest_out) // 5))
+    with open(os.path.join(args.out_dir, "valid_manifest.txt"), "w", encoding="utf-8") as fout:
+        fout.write("\n".join(manifest_out[:n_valid]) + "\n")
+    with open(os.path.join(args.out_dir, "train_manifest.txt"), "w", encoding="utf-8") as fout:
+        fout.write("\n".join(manifest_out[n_valid:]) + "\n")
+    print(f"Precomputed {n_done} utterances ({n_failed} failed) -> {args.out_dir} "
+          f"(train {len(manifest_out) - n_valid} / valid {n_valid})")
 
 
 if __name__ == "__main__":
