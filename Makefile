@@ -22,7 +22,7 @@ METADATA ?= metadata.txt
 EXP_DIR ?= exp/run1
 DEVICES ?=            # data,model mesh shape, e.g. 4,1 (default: all data)
 
-.PHONY: train synth synth-meta eval avg test bench lint
+.PHONY: train synth synth-meta eval avg test bench lint corpus train-g2p train-asr eval-disc
 
 train:
 	$(PYTHON) train.py --config-dir $(CFG) --exp-dir $(EXP_DIR) \
@@ -60,3 +60,23 @@ test:
 
 bench:
 	$(PYTHON) bench.py
+
+# --- TPU extras: corpus fabrication, G2P/ASR training, discrimination eval ---
+CORPUS ?= /tmp/corpus_r4
+CORPUS_NPZ ?= /tmp/corpus_npz_r4
+
+corpus:
+	$(PYTHON) tools/fabricate_corpus.py --out-dir $(CORPUS) --n 300 --seed 1
+	$(PYTHON) tools/precompute_dataset.py --manifest $(CORPUS)/fab_manifest.txt \
+		--out-dir $(CORPUS_NPZ) --codec-dir random --device tpu
+	cp $(CORPUS)/speakers.txt $(CORPUS_NPZ)/
+
+train-g2p:
+	$(PYTHON) tools/train_g2p.py --device tpu
+
+train-asr:
+	$(PYTHON) tools/train_asr.py --corpus $(CORPUS) --device tpu --train-on decoded
+
+eval-disc:
+	$(PYTHON) tools/eval_discrimination.py --corpus $(CORPUS) \
+		--ckpt $(CKPT) --cfg $(CFG)
