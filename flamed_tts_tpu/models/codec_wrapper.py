@@ -62,8 +62,14 @@ class FaCodec:
         for path in (enc_path, dec_path):
             if not os.path.isfile(path):
                 raise FileNotFoundError(
-                    f"Converted codec checkpoint not found: {path}. Convert the "
-                    "PyTorch release with tools/convert_torch_ckpt.py first."
+                    f"Converted codec checkpoint not found: {path}.\n"
+                    "One-time conversion from the PyTorch release "
+                    "(amphion/naturalspeech3_facodec, the repo in "
+                    "configs/codec.yaml ckpt_repo):\n"
+                    "  python tools/convert_torch_ckpt.py --kind codec-encoder "
+                    "ns3_facodec_encoder.bin checkpoints/ns3_facodec_encoder.npz\n"
+                    "  python tools/convert_torch_ckpt.py --kind codec-decoder "
+                    "ns3_facodec_decoder.bin checkpoints/ns3_facodec_decoder.npz"
                 )
         return cls(
             load_pytree_npz(enc_path),
