@@ -293,6 +293,11 @@ def main():
                 f"({step} steps, {time.time() - t0:.0f}s)",
                 flush=True,
             )
+        if epoch % 10 == 9 and epoch != args.epochs - 1:
+            # periodic save so an interrupted run still yields weights
+            snap = jax.tree_util.tree_map(np.asarray, jax.device_get(jparams))
+            snap.pop("pos", None)
+            np.savez_compressed(args.out, **g2p.flatten(snap))
 
     final = jax.tree_util.tree_map(np.asarray, jax.device_get(jparams))
     final.pop("pos", None)
