@@ -62,8 +62,8 @@ bench:
 	$(PYTHON) bench.py
 
 # --- TPU extras: corpus fabrication, G2P/ASR training, discrimination eval ---
-CORPUS ?= /tmp/corpus_r4
-CORPUS_NPZ ?= /tmp/corpus_npz_r4
+CORPUS ?= _work/corpus_r4
+CORPUS_NPZ ?= _work/corpus_npz_r4
 
 corpus:
 	$(PYTHON) tools/fabricate_corpus.py --out-dir $(CORPUS) --n 300 --seed 1

@@ -41,6 +41,7 @@ N_CLASSES = len(BASE_PHONES) + 1
 D_MODEL = 192
 N_LAYERS = 6
 KERNEL = 5
+SPK_EMB_DIM = 64
 
 
 def phone_label(text: str) -> int:
@@ -50,7 +51,12 @@ def phone_label(text: str) -> int:
 # --- model (pure functions over a params dict) ---------------------------
 
 
-def init_params(rng: np.random.RandomState) -> Dict:
+def init_params(rng: np.random.RandomState, n_speakers: Optional[int] = None) -> Dict:
+    """Trunk + phone head; with ``n_speakers``, also a speaker head
+    (utterance embedding projection + a training-only classifier) so the
+    same trunk doubles as a learned speaker embedder for the eval
+    harness (tools/eval_discrimination.py)."""
+
     def dense(n_in, n_out):
         return (rng.randn(n_in, n_out) / np.sqrt(n_in)).astype(np.float32)
 
@@ -72,11 +78,14 @@ def init_params(rng: np.random.RandomState) -> Dict:
                 "ln_b": np.zeros(D_MODEL, np.float32),
             }
         )
+    if n_speakers is not None:
+        params["spk_w"] = dense(D_MODEL, SPK_EMB_DIM)
+        params["spk_b"] = np.zeros(SPK_EMB_DIM, np.float32)
+        params["spk_cls"] = dense(SPK_EMB_DIM, n_speakers)
     return params
 
 
-def forward(params, xp, mel):  # mel: (B, T, 80) log-mel
-    """Frame logits (B, T, N_CLASSES)."""
+def _trunk(params, xp, mel):  # mel: (B, T, 80) log-mel -> (B, T, D)
     x = mel @ params["in_w"] + params["in_b"]
     for i, layer in enumerate(params["layers"]):
         dil = 2 ** min(i, 5)
@@ -84,7 +93,29 @@ def forward(params, xp, mel):  # mel: (B, T, 80) log-mel
         h = _dilated_dwconv(xp, h, layer["dw"], dil)
         h = _gelu(xp, h) @ layer["pw_w"] + layer["pw_b"]
         x = x + h
-    return x @ params["out_w"] + params["out_b"]
+    return x
+
+
+def forward(params, xp, mel):  # mel: (B, T, 80) log-mel
+    """Frame logits (B, T, N_CLASSES)."""
+    return _trunk(params, xp, mel) @ params["out_w"] + params["out_b"]
+
+
+def speaker_embed(params, xp, mel, frame_mask=None):
+    """L2-normalized utterance speaker embedding (B, SPK_EMB_DIM).
+
+    Mean-pools the shared trunk over time (optionally masked against
+    padded frames) and projects; the classifier head that trained it
+    (``spk_cls``) is not applied — cosine over these embeddings is the
+    eval-harness speaker-similarity metric."""
+    h = _trunk(params, xp, mel)  # (B, T, D)
+    if frame_mask is not None:
+        w = frame_mask[..., None].astype(h.dtype)
+        pooled = (h * w).sum(axis=1) / xp.maximum(w.sum(axis=1), 1.0)
+    else:
+        pooled = h.mean(axis=1)
+    e = pooled @ params["spk_w"] + params["spk_b"]
+    return e / xp.sqrt((e * e).sum(axis=-1, keepdims=True) + 1e-12)
 
 
 def _gelu(xp, x):
@@ -215,6 +246,9 @@ def save_weights(params: Dict, path: str) -> None:
     flat = {}
     flat["in_w"], flat["in_b"] = params["in_w"], params["in_b"]
     flat["out_w"], flat["out_b"] = params["out_w"], params["out_b"]
+    for key in ("spk_w", "spk_b", "spk_cls"):
+        if key in params:
+            flat[key] = params[key]
     for i, layer in enumerate(params["layers"]):
         for key, val in layer.items():
             flat[f"layers/{i}/{key}"] = np.asarray(val)
@@ -231,6 +265,9 @@ def load_weights(path: Optional[str] = None) -> Optional[Dict]:
             "out_w": data["out_w"], "out_b": data["out_b"],
             "layers": [],
         }
+        for key in ("spk_w", "spk_b", "spk_cls"):
+            if key in data.files:
+                params[key] = data[key]
         i = 0
         while f"layers/{i}/dw" in data.files:
             params["layers"].append(
@@ -268,3 +305,15 @@ class PhonemeRecognizer:
         phones = [BASE_PHONES[i - 1] for i in ids]
         words = beam_decode_words(ids, self.trie)
         return phones, " ".join(words)
+
+    def speaker_embedding(self, wav: np.ndarray) -> np.ndarray:
+        """(SPK_EMB_DIM,) learned speaker embedding of a waveform.
+        Requires weights trained with a speaker head (train_asr.py)."""
+        if "spk_w" not in self.params:
+            raise ValueError("ASR weights were trained without a speaker head")
+        import jax.numpy as jnp
+
+        from flamed_tts_tpu.ops.melspec import mel_spectrogram
+
+        mel = np.asarray(mel_spectrogram(jnp.asarray(wav[None, :])))[0].T
+        return speaker_embed(self.params, np, mel[None].astype(np.float32))[0]

@@ -159,8 +159,11 @@ def test_possessive_inflection():
 
 
 def test_running_text_coverage_tool():
-    """The bundled coverage tool's mixed-register sample resolves almost
-    entirely without the rule-G2P fallback (VERDICT r2 item 7)."""
+    """The bundled coverage sample now deliberately includes a proper-noun/
+    loanword paragraph (VERDICT r3 weak #5: the old sample never exercised
+    the OOV fallback).  The lexicon+inflection share covers the everyday
+    register; the OOV remainder must route to the neural G2P when its
+    weights are committed, rules otherwise — never silently dropped."""
     import importlib.util, os
     spec = importlib.util.spec_from_file_location(
         "lexcov",
@@ -170,4 +173,18 @@ def test_running_text_coverage_tool():
     spec.loader.exec_module(mod)
     report = mod.coverage(mod.SAMPLE)
     assert report["lexicon_entries"] > 8000
-    assert report["lexicon_pct"] + report["inflection_pct"] >= 95.0, report
+    assert report["lexicon_pct"] + report["inflection_pct"] >= 88.0, report
+    # the sample actually exercises the OOV path now
+    assert len(report["unique_oov_words"]) >= 10, report
+    oov_pct = report["neural_g2p_pct"] + report["rules_pct"]
+    assert 0.0 < oov_pct <= 12.0, report
+    total = (report["lexicon_pct"] + report["inflection_pct"]
+             + report["neural_g2p_pct"] + report["rules_pct"])
+    assert abs(total - 100.0) < 0.5, report
+    g2p_weights = os.path.join(
+        os.path.dirname(__file__), "..", "flamed_tts_tpu", "lexicon",
+        "g2p_weights.npz",
+    )
+    if os.path.isfile(g2p_weights):
+        # trained neural G2P owns every OOV word; rules are dead code
+        assert report["rules_pct"] == 0.0, report

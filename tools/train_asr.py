@@ -38,8 +38,19 @@ CHUNK = 512  # frames per training example (6.4 s)
 
 
 def load_corpus(corpus_dir: str):
-    """[(wav_path, [(start_f, end_f, class_id)])] from fab_manifest.txt."""
+    """([(wav_path, spans, spk_id)], n_speakers) from fab_manifest.txt
+    (+ speakers.txt when the fabricator wrote one; spk_id -1 otherwise)."""
     from flamed_tts_tpu.utils.textgrid import get_tier
+
+    spk_of = {}
+    spk_path = os.path.join(corpus_dir, "speakers.txt")
+    if os.path.isfile(spk_path):
+        with open(spk_path, encoding="utf-8") as fin:
+            for line in fin:
+                if "|" in line:
+                    stem, s = line.strip().split("|", 1)
+                    spk_of[stem] = s
+    spk_ids = {s: i for i, s in enumerate(sorted(set(spk_of.values())))}
 
     items = []
     manifest = os.path.join(corpus_dir, "fab_manifest.txt")
@@ -57,12 +68,13 @@ def load_corpus(corpus_dir: str):
                 )
                 for iv in get_tier(tg_path, "phones")
             ]
-            items.append((wav_path, spans))
-    return items
+            stem = os.path.splitext(os.path.basename(wav_path))[0]
+            items.append((wav_path, spans, spk_ids.get(spk_of.get(stem), -1)))
+    return items, len(spk_ids)
 
 
 def featurize(items, codec=None, log=print):
-    """-> (mels [N, CHUNK, 80], labels [N, CHUNK]) chunked frames."""
+    """-> (mels [N, CHUNK, 80], labels [N, CHUNK], spks [N]) chunked frames."""
     import jax
     import jax.numpy as jnp
 
@@ -70,8 +82,8 @@ def featurize(items, codec=None, log=print):
     from flamed_tts_tpu.utils.audio import load_wav
 
     mel_fn = jax.jit(mel_spectrogram)
-    mels, labels = [], []
-    for idx, (wav_path, spans) in enumerate(items):
+    mels, labels, spks = [], [], []
+    for idx, (wav_path, spans, spk_id) in enumerate(items):
         wav = load_wav(wav_path)
         versions = [wav]
         if codec is not None:
@@ -91,11 +103,13 @@ def featurize(items, codec=None, log=print):
                 pad = CHUNK - len(seg_m)
                 mels.append(np.pad(seg_m, ((0, pad), (0, 0))))
                 labels.append(np.pad(seg_l, (0, pad), constant_values=-1))
+                spks.append(spk_id)
         if idx % 50 == 49:
             log(f"  featurized {idx + 1}/{len(items)}")
     return (
         np.stack(mels).astype(np.float32),
         np.stack(labels).astype(np.int32),
+        np.asarray(spks, np.int32),
     )
 
 
@@ -143,16 +157,20 @@ def main():
                 load_default_config()["codec_cfg"], ckpt_dir=args.codec_dir
             )
 
-    items = load_corpus(args.corpus)
+    items, n_speakers = load_corpus(args.corpus)
     n_valid = max(len(items) // 10, 2)
     valid_items, train_items = items[:n_valid], items[n_valid:]
-    print(f"corpus: {len(train_items)} train / {n_valid} valid utterances")
+    print(f"corpus: {len(train_items)} train / {n_valid} valid utterances, "
+          f"{n_speakers} speakers")
     t0 = time.time()
-    mels, labels = featurize(train_items, codec)
-    vmels, vlabels = featurize(valid_items, codec)
+    mels, labels, spk_labels = featurize(train_items, codec)
+    vmels, vlabels, vspk = featurize(valid_items, codec)
     print(f"features: train {mels.shape} valid {vmels.shape} ({time.time() - t0:.0f}s)")
 
-    params = asr.init_params(np.random.RandomState(args.seed))
+    params = asr.init_params(
+        np.random.RandomState(args.seed),
+        n_speakers=n_speakers if n_speakers >= 2 else None,
+    )
     n = mels.shape[0]
     steps_per_epoch = max(n // args.batch, 1)
     total = steps_per_epoch * args.epochs
@@ -161,18 +179,30 @@ def main():
     jparams = jax.tree_util.tree_map(jnp.asarray, params)
     opt_state = tx.init(jparams)
 
-    def loss_fn(p, batch_mel, batch_lab):
+    has_spk = "spk_w" in params
+
+    def loss_fn(p, batch_mel, batch_lab, batch_spk):
         logits = asr.forward(p, jnp, batch_mel)
         valid = (batch_lab >= 0).astype(jnp.float32)
         lab = jnp.maximum(batch_lab, 0)
         logp = jax.nn.log_softmax(logits, axis=-1)
         onehot = jax.nn.one_hot(lab, asr.N_CLASSES)
         ce = -((0.95 * onehot + 0.05 / asr.N_CLASSES) * logp).sum(-1)
-        return (ce * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+        loss = (ce * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+        if has_spk:
+            # joint speaker head: classify the pooled trunk embedding
+            emb = asr.speaker_embed(p, jnp, batch_mel, frame_mask=valid)
+            slogp = jax.nn.log_softmax(8.0 * (emb @ p["spk_cls"]), axis=-1)
+            ok = (batch_spk >= 0).astype(jnp.float32)
+            sce = -jnp.take_along_axis(
+                slogp, jnp.maximum(batch_spk, 0)[:, None], axis=-1
+            )[:, 0]
+            loss = loss + 0.5 * (sce * ok).sum() / jnp.maximum(ok.sum(), 1.0)
+        return loss
 
     @jax.jit
-    def train_step(p, opt_state, batch_mel, batch_lab):
-        loss, grads = jax.value_and_grad(loss_fn)(p, batch_mel, batch_lab)
+    def train_step(p, opt_state, batch_mel, batch_lab, batch_spk):
+        loss, grads = jax.value_and_grad(loss_fn)(p, batch_mel, batch_lab, batch_spk)
         updates, opt_state = tx.update(grads, opt_state, p)
         return optax.apply_updates(p, updates), opt_state, loss
 
@@ -191,7 +221,8 @@ def main():
             if len(idx) < args.batch:
                 idx = np.concatenate([idx, order[: args.batch - len(idx)]])
             jparams, opt_state, loss = train_step(
-                jparams, opt_state, jnp.asarray(mels[idx]), jnp.asarray(labels[idx])
+                jparams, opt_state, jnp.asarray(mels[idx]),
+                jnp.asarray(labels[idx]), jnp.asarray(spk_labels[idx]),
             )
             losses.append(loss)
         if (epoch + 1) % args.valid_every == 0 or epoch in (0, args.epochs - 1):
@@ -215,6 +246,14 @@ def main():
     final = jax.tree_util.tree_map(np.asarray, jax.device_get(jparams))
     asr.save_weights(final, args.out)
     print(f"saved {args.out} ({os.path.getsize(args.out) / 1e6:.1f} MB)")
+
+    if has_spk and len(vmels):
+        emb = asr.speaker_embed(final, np, vmels, frame_mask=(vlabels >= 0))
+        pred = np.argmax(emb @ final["spk_cls"], axis=-1)
+        ok = vspk >= 0
+        acc = float((pred[ok] == vspk[ok]).mean()) if ok.any() else float("nan")
+        print(f"valid speaker-classification acc: {acc:.4f} "
+              f"(n={int(ok.sum())}, {n_speakers} speakers)")
 
     # end-to-end word sanity on validation utterances (free decoding)
     from flamed_tts_tpu.utils.audio import load_wav
