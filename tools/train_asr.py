@@ -93,7 +93,13 @@ def featurize(items, codec=None, log=print):
         for a, b, cid in spans:
             lab[a:b] = cid
         for v in versions:
-            mel = np.asarray(mel_fn(jnp.asarray(v[None, :])))[0].T  # (T, 80)
+            # Pad to a whole-second grid before the jitted mel: each
+            # distinct wav length is otherwise a fresh compile through
+            # the relay (300 utterances -> 300 compiles).
+            sr = 16000
+            v_pad = np.pad(v, (0, (-len(v)) % sr))
+            true_frames = len(v) // 200
+            mel = np.asarray(mel_fn(jnp.asarray(v_pad[None, :])))[0].T[:true_frames]
             T = min(mel.shape[0], n_frames)
             for start in range(0, T, CHUNK):
                 seg_m = mel[start : start + CHUNK]
