@@ -235,6 +235,76 @@ def beam_decode_words(
     return list(frontier[0][4]) if frontier else []
 
 
+def viterbi_decode_words(
+    logprobs: np.ndarray,
+    trie: LexiconTrie,
+    beam: int = 48,
+    word_penalty: float = 12.0,
+    entry_penalty: float = 3.0,
+) -> List[str]:
+    """Frame-synchronous lexicon-constrained Viterbi beam over posteriors.
+
+    Unlike :func:`beam_decode_words` (which edits a hard argmax-collapsed
+    phone string), this consumes the full (T, N_CLASSES) log-posterior
+    matrix: a phone that is weakly second-best per frame is recovered
+    whenever the lexicon requires it.  Token-passing states are
+    (trie node, phone being consumed); word ends jump back to the root
+    with ``word_penalty`` (discourages fragmenting into short words) and
+    ``entry_penalty`` per phone entry (discourages 1-frame phones).
+    Silence is modeled at word boundaries only.
+    """
+    root = trie.root
+    T = logprobs.shape[0]
+    # state key (id(node), cur_phone) -> (score, node, words)
+    states: Dict[Tuple[int, int], Tuple[float, Dict, tuple]] = {
+        (id(root), SIL): (0.0, root, ())
+    }
+    for t in range(T):
+        lp = logprobs[t]
+        nxt: Dict[Tuple[int, int], Tuple[float, Dict, tuple]] = {}
+
+        def push(node, cur, score, words):
+            key = (id(node), cur)
+            old = nxt.get(key)
+            if old is None or score > old[0]:
+                nxt[key] = (score, node, words)
+
+        for (nid, cur), (score, node, words) in states.items():
+            # continue the current phone (or boundary silence)
+            push(node, cur, score + lp[cur], words)
+            # enter a new phone along a trie edge
+            for p, child in node.items():
+                if p != "$":
+                    push(child, p, score + lp[p] - entry_penalty, words)
+            # word boundary: emit, jump to root, consume as sil or as the
+            # first phone of the next word
+            if "$" in node:
+                nw = words + (node["$"][0],)
+                s2 = score - word_penalty
+                push(root, SIL, s2 + lp[SIL], nw)
+                for p, child in root.items():
+                    if p != "$":
+                        push(child, p, s2 + lp[p] - entry_penalty, nw)
+        states = dict(
+            sorted(nxt.items(), key=lambda kv: -kv[1][0])[:beam]
+        )
+    best: Optional[Tuple[float, tuple]] = None
+    fallback: Optional[Tuple[float, tuple]] = None
+    for score, node, words in states.values():
+        if "$" in node:  # finish inside a completed word
+            cand = (score - word_penalty, words + (node["$"][0],))
+        elif node is root:  # finish at a word boundary / silence
+            cand = (score, words)
+        else:  # mid-word: usable only if nothing completes
+            if fallback is None or score > fallback[0]:
+                fallback = (score, words)
+            continue
+        if best is None or cand[0] > best[0]:
+            best = cand
+    best = best or fallback
+    return list(best[1]) if best else []
+
+
 # --- weights io -----------------------------------------------------------
 
 _DEFAULT_WEIGHTS = os.path.join(
@@ -291,19 +361,24 @@ class PhonemeRecognizer:
             lexicon = read_lexicon(_BUILTIN_LEXICON)
         self.trie = LexiconTrie(lexicon)
 
-    def frame_ids(self, wav: np.ndarray) -> np.ndarray:
+    def frame_logits(self, wav: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp
 
         from flamed_tts_tpu.ops.melspec import mel_spectrogram
 
         mel = np.asarray(mel_spectrogram(jnp.asarray(wav[None, :])))[0].T  # (T, 80)
-        logits = forward(self.params, np, mel[None].astype(np.float32))[0]
-        return np.argmax(logits, axis=-1)
+        return forward(self.params, np, mel[None].astype(np.float32))[0]
+
+    def frame_ids(self, wav: np.ndarray) -> np.ndarray:
+        return np.argmax(self.frame_logits(wav), axis=-1)
 
     def transcribe(self, wav: np.ndarray) -> Tuple[List[str], str]:
-        ids = collapse_frames(self.frame_ids(wav))
+        logits = self.frame_logits(wav)
+        ids = collapse_frames(np.argmax(logits, axis=-1))
         phones = [BASE_PHONES[i - 1] for i in ids]
-        words = beam_decode_words(ids, self.trie)
+        lmax = logits.max(axis=-1, keepdims=True)
+        logprobs = logits - (lmax + np.log(np.exp(logits - lmax).sum(-1, keepdims=True)))
+        words = viterbi_decode_words(logprobs, self.trie)
         return phones, " ".join(words)
 
     def speaker_embedding(self, wav: np.ndarray) -> np.ndarray:

@@ -45,6 +45,54 @@ def test_beam_decode_with_noise():
     assert asr.beam_decode_words(ids, trie) == ["hello", "world"]
 
 
+def _logprobs_for(phone_seq, frames_per=3, favored=-0.1, other=-6.0):
+    T = len(phone_seq) * frames_per
+    lp = np.full((T, asr.N_CLASSES), other, np.float32)
+    for i, p in enumerate(phone_seq):
+        lp[i * frames_per : (i + 1) * frames_per, asr.phone_label(p)] = favored
+    return lp
+
+
+def test_viterbi_decode_exact():
+    lex = {"hello": ["HH", "AH0", "L", "OW1"], "world": ["W", "ER1", "L", "D"]}
+    trie = asr.LexiconTrie(lex)
+    lp = _logprobs_for(["HH", "AH0", "L", "OW1", "W", "ER1", "L", "D"])
+    assert asr.viterbi_decode_words(lp, trie) == ["hello", "world"]
+
+
+def test_viterbi_recovers_non_argmax_phone():
+    """The lexicon constraint must recover a phone that is never the
+    framewise argmax — the property the collapsed-argmax decoder lacks."""
+    lex = {"hello": ["HH", "AH0", "L", "OW1"]}
+    trie = asr.LexiconTrie(lex)
+    lp = _logprobs_for(["HH", "AH0", "L", "OW1"])
+    l_id, r_id = asr.phone_label("L"), asr.phone_label("R")
+    # over frames 6-8, R beats L — argmax collapse reads HH AH R OW
+    lp[6:9, r_id] = -0.05
+    lp[6:9, l_id] = -0.2
+    assert asr.viterbi_decode_words(lp, trie) == ["hello"]
+
+
+def test_viterbi_word_penalty_blocks_fragmenting():
+    """With short filler words in the lexicon, the word penalty must keep
+    the decoder from splitting one long word into many short ones."""
+    lex = {
+        "sacrifice": ["S", "AE1", "K", "R", "AH0", "F", "AY2", "S"],
+        "a": ["AH0"], "i": ["AY1"], "us": ["AH1", "S"], "sack": ["S", "AE1", "K"],
+    }
+    trie = asr.LexiconTrie(lex)
+    lp = _logprobs_for(["S", "AE1", "K", "R", "AH0", "F", "AY2", "S"])
+    assert asr.viterbi_decode_words(lp, trie) == ["sacrifice"]
+
+
+def test_viterbi_boundary_silence():
+    lex = {"lo": ["L", "OW1"], "eel": ["IY1", "L"]}
+    trie = asr.LexiconTrie(lex)
+    seq = ["L", "OW1", "sil", "IY1", "L"]  # sil maps to class 0
+    lp = _logprobs_for(seq)
+    assert asr.viterbi_decode_words(lp, trie) == ["lo", "eel"]
+
+
 def test_forward_shapes_and_parity():
     import jax.numpy as jnp
 

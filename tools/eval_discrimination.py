@@ -118,10 +118,28 @@ def pair_margins(
     return float(same_a.mean()), float(diff_a.mean()), acc, len(same), len(diff)
 
 
+def asr_speaker_embedder():
+    """wav -> (64,) embedding from the trained recognizer's speaker head
+    (flamed_tts_tpu/asr.py, trained by tools/train_asr.py), or None when
+    no committed weights with a speaker head exist.  This is the only
+    *learned on real speaker labels* embedder in the harness — the codec
+    timbre encoder is random in this environment."""
+    try:
+        from flamed_tts_tpu.asr import PhonemeRecognizer
+
+        rec = PhonemeRecognizer()
+        if "spk_w" not in rec.params:
+            return None
+        return rec.speaker_embedding
+    except (FileNotFoundError, ImportError):
+        return None
+
+
 def stage1(items, codec, n_utts: int, seed: int) -> Dict:
     """Embedder ground truth on real corpus audio."""
     from flamed_tts_tpu.utils.audio import load_wav
 
+    asr_embed = asr_speaker_embedder()
     rng = np.random.RandomState(seed)
     by_spk: Dict[str, List[Tuple[str, str]]] = {}
     for wav_path, text, s in items:
@@ -132,6 +150,7 @@ def stage1(items, codec, n_utts: int, seed: int) -> Dict:
 
     embs_codec: Dict[str, List[np.ndarray]] = {}
     embs_mel: Dict[str, List[np.ndarray]] = {}
+    embs_asr: Dict[str, List[np.ndarray]] = {}
     for s in speakers:
         lst = by_spk[s]
         idx = rng.permutation(len(lst))[:per_spk]
@@ -140,9 +159,14 @@ def stage1(items, codec, n_utts: int, seed: int) -> Dict:
             _, timbre = codec.encode_prompt(wav)
             embs_codec.setdefault(s, []).append(timbre)
             embs_mel.setdefault(s, []).append(mel_stats_embedding(wav))
+            if asr_embed is not None:
+                embs_asr.setdefault(s, []).append(asr_embed(wav))
 
     out = {}
-    for name, embs in (("codec_timbre", embs_codec), ("melstats", embs_mel)):
+    embedders = [("codec_timbre", embs_codec), ("melstats", embs_mel)]
+    if asr_embed is not None:
+        embedders.append(("asr_spk", embs_asr))
+    for name, embs in embedders:
         same, diff, acc, n_s, n_d = pair_margins(embs)
         out[name] = {
             "same_mean": round(same, 4),
@@ -191,7 +215,8 @@ def stage2(
     if len(speakers) < 2:
         raise SystemExit("need >= 2 speakers with >= 2 utterances for stage 2")
 
-    margins_codec, margins_mel = [], []
+    asr_embed = asr_speaker_embedder()
+    margins_codec, margins_mel, margins_asr = [], [], []
     rows = []
     for k in range(n_synth):
         spk_a, spk_b = rng.choice(speakers, size=2, replace=False)
@@ -228,30 +253,42 @@ def stage2(
         )
         margins_codec.append(m_codec)
         margins_mel.append(m_mel)
-        rows.append(
-            {"spk": spk_a, "vs": spk_b, "dur_s": round(len(synth) / SR, 2),
-             "margin_codec": round(m_codec, 4), "margin_mel": round(m_mel, 4)}
-        )
+        row = {"spk": spk_a, "vs": spk_b, "dur_s": round(len(synth) / SR, 2),
+               "margin_codec": round(m_codec, 4), "margin_mel": round(m_mel, 4)}
+        m_asr = None
+        if asr_embed is not None:
+            a_synth = asr_embed(np.asarray(synth))
+            m_asr = _cosine(a_synth, asr_embed(prompt_wav)) - _cosine(
+                a_synth, asr_embed(other_wav)
+            )
+            margins_asr.append(m_asr)
+            row["margin_asr"] = round(m_asr, 4)
+        rows.append(row)
         print(
             f"[stage2] {k:2d} {spk_a}->vs {spk_b}: codec {m_codec:+.4f} "
-            f"mel {m_mel:+.4f} ({len(synth) / SR:.2f}s)",
+            f"mel {m_mel:+.4f}"
+            + (f" asr {m_asr:+.4f}" if m_asr is not None else "")
+            + f" ({len(synth) / SR:.2f}s)",
             file=sys.stderr,
         )
 
-    mc, mm = np.asarray(margins_codec), np.asarray(margins_mel)
-    return {
+    def _summ(vals):
+        v = np.asarray(vals)
+        return {
+            "mean_margin": round(float(v.mean()), 4),
+            "frac_positive": round(float((v > 0).mean()), 3),
+        }
+
+    out = {
         "n_synth": n_synth,
         "nfe": nsteps,
-        "codec_timbre": {
-            "mean_margin": round(float(mc.mean()), 4),
-            "frac_positive": round(float((mc > 0).mean()), 3),
-        },
-        "melstats": {
-            "mean_margin": round(float(mm.mean()), 4),
-            "frac_positive": round(float((mm > 0).mean()), 3),
-        },
+        "codec_timbre": _summ(margins_codec),
+        "melstats": _summ(margins_mel),
         "items": rows,
     }
+    if margins_asr:
+        out["asr_spk"] = _summ(margins_asr)
+    return out
 
 
 def main() -> None:
