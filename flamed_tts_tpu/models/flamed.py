@@ -195,8 +195,11 @@ class Flamed:
 
         start_time = time.time()
 
+        from flamed_tts_tpu.utils.profiling import sample_span
+
         if text is not None:
-            ids, _, _ = self._get_frontend(lexicon_path, cleaners)(text)
+            with sample_span("frontend"):
+                ids, _, _ = self._get_frontend(lexicon_path, cleaners)(text)
         else:
             ids = np.asarray(phonemes, dtype=np.int32)
             if ids.ndim == 1:
@@ -214,9 +217,10 @@ class Flamed:
             # Single-call path: prompt encode+analyze compiles into the
             # fused sampling program (a separate encode_prompt call costs
             # a ~25 ms tunnel dispatch round trip).
-            padded, n_frames = codec.pad_prompt_wav(np.asarray(prompt_raw))
-            prompt_wav = padded[None, :]
-            prompt_frames = np.asarray([n_frames], dtype=np.int32)
+            with sample_span("prompt_prep"):
+                padded, n_frames = codec.pad_prompt_wav(np.asarray(prompt_raw))
+                prompt_wav = padded[None, :]
+                prompt_frames = np.asarray([n_frames], dtype=np.int32)
         else:
             if timbre is None:
                 raise ValueError("`timbre` must be provided along with `prompt_processed`!")

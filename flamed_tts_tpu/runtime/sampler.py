@@ -30,6 +30,7 @@ from flamed_tts_tpu.models.prob.prob_generator import prob_sample
 from flamed_tts_tpu.ops.length_regulator import length_regulate
 from flamed_tts_tpu.ops.masking import mask_from_lengths
 from flamed_tts_tpu.runtime.buckets import pick_bucket
+from flamed_tts_tpu.utils.profiling import sample_span
 
 
 class BucketedSampler:
@@ -318,8 +319,9 @@ class BucketedSampler:
             spec = P("data") if batch_axis and x.ndim > 0 else P()
             return jax.device_put(x, NamedSharding(mesh, spec))
 
-        phonemes_j = place(phonemes_b)
-        src_lens_j = place(src_lens)
+        with sample_span("input_place"):
+            phonemes_j = place(phonemes_b)
+            src_lens_j = place(src_lens)
 
         if fused:
             if frames_per_phoneme_budget is None:
@@ -338,8 +340,9 @@ class BucketedSampler:
                 self.frame_buckets,
             )
             if prompt_wav is not None:
-                wav_j = place(np.asarray(prompt_wav, dtype=np.float32)[:, :, None])
-                frames_j = place(np.asarray(prompt_frames, dtype=np.int32))
+                with sample_span("prompt_place"):
+                    wav_j = place(np.asarray(prompt_wav, dtype=np.float32)[:, :, None])
+                    frames_j = place(np.asarray(prompt_frames, dtype=np.int32))
 
                 def call_fused(f_bucket):
                     return self._fused_p(
@@ -364,19 +367,21 @@ class BucketedSampler:
                         dec_params is not None,
                     )
 
-            result = call_fused(f_guess)
+            with sample_span("fused_dispatch"):
+                result = call_fused(f_guess)
             # One RPC fetches overflow indicator + final outputs together
             # (tgt_mask rides along: a separate fetch later would cost
             # another ~25 ms tunnel round trip).
-            if result[5] is not None:
-                tgt_raw_h, tgt_len_h, tgt_mask_h, wav_h = jax.device_get(
-                    (result[6], result[3], result[4], result[5])
-                )
-            else:
-                tgt_raw_h, tgt_len_h, tgt_mask_h = jax.device_get(
-                    (result[6], result[3], result[4])
-                )
-                wav_h = None
+            with sample_span("fused_get"):
+                if result[5] is not None:
+                    tgt_raw_h, tgt_len_h, tgt_mask_h, wav_h = jax.device_get(
+                        (result[6], result[3], result[4], result[5])
+                    )
+                else:
+                    tgt_raw_h, tgt_len_h, tgt_mask_h = jax.device_get(
+                        (result[6], result[3], result[4])
+                    )
+                    wav_h = None
             # Record the observed speech rate for future bucket guesses.
             ratios = tgt_raw_h / np.maximum(np.asarray(src_lens, np.float32), 1.0)
             self._ratio_history.extend(float(r) for r in ratios)

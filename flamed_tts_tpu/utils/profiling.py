@@ -27,6 +27,17 @@ def trace(log_dir: Optional[str]) -> Iterator[None]:
         yield
 
 
+# Opt-in host-span profiling of the sampling hot path: a profiling tool
+# (tools/profile_sample.py) installs a StageTimer here; when None the
+# spans below compile to a nullcontext and cost nothing measurable.
+SAMPLE_TIMER = None
+
+
+def sample_span(name: str):
+    t = SAMPLE_TIMER
+    return t.span(name) if t is not None else contextlib.nullcontext()
+
+
 class StageTimer:
     def __init__(self) -> None:
         self.totals: Dict[str, float] = defaultdict(float)

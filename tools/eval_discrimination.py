@@ -216,7 +216,16 @@ def stage2(
         raise SystemExit("need >= 2 speakers with >= 2 utterances for stage 2")
 
     asr_embed = asr_speaker_embedder()
-    margins_codec, margins_mel, margins_asr = [], [], []
+    recognizer = None
+    try:
+        from flamed_tts_tpu.asr import PhonemeRecognizer
+
+        recognizer = PhonemeRecognizer()
+    except FileNotFoundError:
+        pass
+    from tools.evaluate import word_error_rate
+
+    margins_codec, margins_mel, margins_asr, wers = [], [], [], []
     rows = []
     for k in range(n_synth):
         spk_a, spk_b = rng.choice(speakers, size=2, replace=False)
@@ -253,8 +262,15 @@ def stage2(
         )
         margins_codec.append(m_codec)
         margins_mel.append(m_mel)
-        row = {"spk": spk_a, "vs": spk_b, "dur_s": round(len(synth) / SR, 2),
+        row = {"spk": spk_a, "vs": spk_b, "text": text,
+               "dur_s": round(len(synth) / SR, 2),
                "margin_codec": round(m_codec, 4), "margin_mel": round(m_mel, 4)}
+        if recognizer is not None:
+            _, hyp = recognizer.transcribe(np.asarray(synth))
+            w = word_error_rate(text, hyp)
+            wers.append(w)
+            row["wer"] = round(w, 4)
+            row["hyp"] = hyp
         m_asr = None
         if asr_embed is not None:
             a_synth = asr_embed(np.asarray(synth))
@@ -268,6 +284,7 @@ def stage2(
             f"[stage2] {k:2d} {spk_a}->vs {spk_b}: codec {m_codec:+.4f} "
             f"mel {m_mel:+.4f}"
             + (f" asr {m_asr:+.4f}" if m_asr is not None else "")
+            + (f" wer {row['wer']:.2f}" if "wer" in row else "")
             + f" ({len(synth) / SR:.2f}s)",
             file=sys.stderr,
         )
@@ -288,6 +305,12 @@ def stage2(
     }
     if margins_asr:
         out["asr_spk"] = _summ(margins_asr)
+    if wers:
+        out["wer_synth"] = {
+            "mean": round(float(np.mean(wers)), 4),
+            "median": round(float(np.median(wers)), 4),
+            "n": len(wers),
+        }
     return out
 
 
