@@ -360,13 +360,34 @@ class PhonemeRecognizer:
 
             lexicon = read_lexicon(_BUILTIN_LEXICON)
         self.trie = LexiconTrie(lexicon)
+        # homophone classes: the decoder emits ONE spelling per trie
+        # terminal, so WER scoring maps every word to its pronunciation
+        # class (tools/evaluate.py::word_error_rate canon arg)
+        self._canon: Dict[str, str] = {}
+        for word, phones in lexicon.items():
+            key = " ".join(
+                str(phone_label(p)) for p in phones if phone_label(p) != SIL
+            )
+            self._canon[word.lower()] = f"~{key}"
+
+    def canon(self, word: str) -> str:
+        """Word -> pronunciation-class key (homophones map together)."""
+        return self._canon.get(word.lower(), word.lower())
 
     def frame_logits(self, wav: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp
 
         from flamed_tts_tpu.ops.melspec import mel_spectrogram
 
+        # Pad to the whole-second grid exactly as tools/train_asr.py does
+        # before featurizing: melspec reflect-pads at the buffer end, so
+        # training and inference must see identical tail features (and
+        # each distinct length would otherwise be a fresh jit compile).
+        sr = 16000
+        true_frames = len(wav) // 200
+        wav = np.pad(wav, (0, (-len(wav)) % sr))
         mel = np.asarray(mel_spectrogram(jnp.asarray(wav[None, :])))[0].T  # (T, 80)
+        mel = mel[:true_frames]
         return forward(self.params, np, mel[None].astype(np.float32))[0]
 
     def frame_ids(self, wav: np.ndarray) -> np.ndarray:
@@ -390,5 +411,9 @@ class PhonemeRecognizer:
 
         from flamed_tts_tpu.ops.melspec import mel_spectrogram
 
+        sr = 16000
+        true_frames = len(wav) // 200
+        wav = np.pad(wav, (0, (-len(wav)) % sr))
         mel = np.asarray(mel_spectrogram(jnp.asarray(wav[None, :])))[0].T
+        mel = mel[:true_frames]
         return speaker_embed(self.params, np, mel[None].astype(np.float32))[0]

@@ -95,16 +95,31 @@ def init_cnn_predictor(rng: jax.Array, indim: int, outdim: int, n_heads: int) ->
 # --- FVQ training path ---------------------------------------------------
 
 def fvq_train(
-    x: jnp.ndarray, p: Dict, commitment: float = 0.005
+    x: jnp.ndarray, p: Dict, commitment: float = 0.005,
+    normalized_losses: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Training forward: (quantized w/ straight-through, codes, commit+
-    codebook loss per batch element) — quantize/fvq.py:35-86 semantics."""
+    codebook loss per batch element) — quantize/fvq.py:35-86 semantics.
+
+    ``normalized_losses`` computes the commit/codebook terms on the
+    L2-normalized vectors instead of raw space.  Code *selection* is
+    normalized either way (fvq.py:101-116), so raw-space losses leave
+    z_e scale unconstrained — growing z_e makes the codebook chase it
+    quadratically (an observed runaway when training from scratch with
+    auxiliary CE heads).  On the unit sphere both terms are bounded and
+    scale drift is impossible; used by tools/train_codec.py."""
     z_e = _linear(x, p["in_proj"])  # (B, T, D)
     codes, _ = _nearest(z_e, p["codebook"])
     z_q = jnp.take(p["codebook"], codes, axis=0)
 
-    commit_loss = ((z_e - jax.lax.stop_gradient(z_q)) ** 2).mean(axis=(1, 2)) * commitment
-    codebook_loss = ((z_q - jax.lax.stop_gradient(z_e)) ** 2).mean(axis=(1, 2))
+    if normalized_losses:
+        z_e_c = z_e / jnp.maximum(jnp.linalg.norm(z_e, axis=-1, keepdims=True), 1e-12)
+        z_q_c = z_q / jnp.maximum(jnp.linalg.norm(z_q, axis=-1, keepdims=True), 1e-12)
+        commitment = max(commitment, 0.25)  # VQ-VAE beta on the sphere
+    else:
+        z_e_c, z_q_c = z_e, z_q
+    commit_loss = ((z_e_c - jax.lax.stop_gradient(z_q_c)) ** 2).mean(axis=(1, 2)) * commitment
+    codebook_loss = ((z_q_c - jax.lax.stop_gradient(z_e_c)) ** 2).mean(axis=(1, 2))
     loss = commit_loss + codebook_loss
 
     z_q = z_e + jax.lax.stop_gradient(z_q - z_e)  # straight-through
@@ -125,6 +140,7 @@ def rvq_train(
     layers: List[Dict],
     rng: Optional[jax.Array] = None,
     quantizer_dropout: float = 0.0,
+    normalized_losses: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Residual VQ training loop with per-sample quantizer dropout
     (quantize/rvq.py:27-73): returns (quantized_out, codes, losses,
@@ -144,7 +160,8 @@ def rvq_train(
     quantized_out = jnp.zeros_like(x)
     codes, losses, per_layer = [], [], []
     for idx, layer in enumerate(layers):
-        z_q, c, loss = fvq_train(residual, layer)
+        z_q, c, loss = fvq_train(residual, layer,
+                                 normalized_losses=normalized_losses)
         mask = (idx < n_q).astype(x.dtype)
         residual = residual - z_q
         quantized_out = quantized_out + z_q * mask[:, None, None]
@@ -166,6 +183,7 @@ def analyze_train(
     latents: jnp.ndarray,            # (B, T, 256)
     rng: Optional[jax.Array] = None,
     quantizer_dropout: float = 0.0,
+    normalized_losses: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, List[jnp.ndarray], jnp.ndarray]:
     """Training-mode analysis (facodec.py:470-533 with eval_vq=False):
     the 3 RVQ groups run their *training* path (straight-through +
@@ -182,7 +200,8 @@ def analyze_train(
     x = latents
     for gi in range(2):  # prosody, content
         q_out, q_codes, q_losses, per_layer = rvq_train(
-            x, params["quantizers"][gi], rngs[gi], quantizer_dropout
+            x, params["quantizers"][gi], rngs[gi], quantizer_dropout,
+            normalized_losses=normalized_losses,
         )
         outs = outs + q_out
         codes.append(q_codes)
@@ -190,7 +209,8 @@ def analyze_train(
         buf.append(per_layer.sum(0))
     residual_in = x - jax.lax.stop_gradient(buf[0] + buf[1])
     q_out, q_codes, q_losses, per_layer = rvq_train(
-        residual_in, params["quantizers"][2], rngs[2], quantizer_dropout
+        residual_in, params["quantizers"][2], rngs[2], quantizer_dropout,
+        normalized_losses=normalized_losses,
     )
     outs = outs + q_out
     codes.append(q_codes)

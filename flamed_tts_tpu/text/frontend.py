@@ -30,6 +30,10 @@ _DEFAULT_LEXICON = os.path.join(_LEXICON_DIR, "librispeech-lexicon.txt")
 # reference ships its LibriSpeech lexicon as a large blob that is absent
 # from its release mount, so OOV coverage otherwise falls entirely to G2P.
 _BUILTIN_LEXICON = os.path.join(_LEXICON_DIR, "english-core.txt")
+# Morphological closure of the core stems (tools/expand_lexicon.py):
+# ~200k derived entries, the same coverage model as the reference's
+# LibriSpeech lexicon (which its release does not ship).
+_EXPANDED_LEXICON = os.path.join(_LEXICON_DIR, "english-expanded.txt")
 
 
 def read_lexicon(lexicon_path: Optional[str] = None) -> Dict[str, List[str]]:
@@ -191,8 +195,10 @@ class EnglishFrontend:
         use_builtin_lexicon: bool = True,
     ):
         self.lexicon = read_lexicon(lexicon_path)
-        # Built-in core entries fill behind the user lexicon (user wins).
+        # Built-in core entries fill behind the user lexicon (user wins);
+        # the expanded morphological closure sits behind both.
         self.builtin = read_lexicon(_BUILTIN_LEXICON) if use_builtin_lexicon else {}
+        self.expanded = read_lexicon(_EXPANDED_LEXICON) if use_builtin_lexicon else {}
         self.cleaners = list(cleaners)
         self._g2p = _load_optional_g2p()
         self._neural = None
@@ -200,7 +206,8 @@ class EnglishFrontend:
 
     def _lookup(self, word: str) -> Optional[List[str]]:
         key = word.lower()
-        hit = self.lexicon.get(key) or self.builtin.get(key)
+        hit = (self.lexicon.get(key) or self.builtin.get(key)
+               or self.expanded.get(key))
         return list(hit) if hit else None
 
     def _neural_g2p(self):

@@ -130,10 +130,17 @@ def test_lexicon_coverage_on_running_text():
     ],
 )
 def test_morphological_inflection(word, expected):
+    # Exercise the runtime OOV inflection against the core layers only:
+    # the expanded lexicon (tools/expand_lexicon.py) pre-materializes
+    # these same forms, so _lookup would short-circuit the code path.
     fe = EnglishFrontend()
-    assert fe._lookup(word) is None, f"{word} unexpectedly in lexicon"
-    got = inflect_oov(word, fe._lookup)
+    core = lambda w: fe.lexicon.get(w) or fe.builtin.get(w)  # noqa: E731
+    assert core(word) is None, f"{word} unexpectedly in core lexicon"
+    got = inflect_oov(word, lambda w: list(core(w)) if core(w) else None)
     assert got == expected.split(), f"{word}: {got}"
+    # and the materialized expansion must agree where it has the word
+    if word in fe.expanded:
+        assert fe.expanded[word] == expected.split(), f"expanded[{word}]"
 
 
 def test_frontend_prefers_lexicon_then_morphology():

@@ -118,28 +118,34 @@ def pair_margins(
     return float(same_a.mean()), float(diff_a.mean()), acc, len(same), len(diff)
 
 
-def asr_speaker_embedder():
-    """wav -> (64,) embedding from the trained recognizer's speaker head
-    (flamed_tts_tpu/asr.py, trained by tools/train_asr.py), or None when
-    no committed weights with a speaker head exist.  This is the only
-    *learned on real speaker labels* embedder in the harness — the codec
-    timbre encoder is random in this environment."""
-    try:
-        from flamed_tts_tpu.asr import PhonemeRecognizer
+def load_recognizer():
+    """ONE PhonemeRecognizer shared by the ASR speaker embedder and the
+    WER transcriber (weights npz + lexicon trie load once), or None when
+    no committed weights exist.  Only a missing weights file is
+    tolerated; a genuine code breakage (ImportError etc.) propagates."""
+    from flamed_tts_tpu.asr import PhonemeRecognizer
 
-        rec = PhonemeRecognizer()
-        if "spk_w" not in rec.params:
-            return None
-        return rec.speaker_embedding
-    except (FileNotFoundError, ImportError):
+    try:
+        return PhonemeRecognizer()
+    except FileNotFoundError:
         return None
 
 
-def stage1(items, codec, n_utts: int, seed: int) -> Dict:
+def asr_speaker_embedder(rec):
+    """wav -> (64,) embedding from the trained recognizer's speaker head
+    (flamed_tts_tpu/asr.py, trained by tools/train_asr.py), or None when
+    the weights carry no speaker head.  This is the only *learned on real
+    speaker labels* embedder in the harness."""
+    if rec is None or "spk_w" not in rec.params:
+        return None
+    return rec.speaker_embedding
+
+
+def stage1(items, codec, n_utts: int, seed: int, rec=None) -> Dict:
     """Embedder ground truth on real corpus audio."""
     from flamed_tts_tpu.utils.audio import load_wav
 
-    asr_embed = asr_speaker_embedder()
+    asr_embed = asr_speaker_embedder(rec)
     rng = np.random.RandomState(seed)
     by_spk: Dict[str, List[Tuple[str, str]]] = {}
     for wav_path, text, s in items:
@@ -188,7 +194,7 @@ def stage1(items, codec, n_utts: int, seed: int) -> Dict:
 
 def stage2(
     items, codec, ckpt: str, cfg_dir: str, n_synth: int, nsteps: int,
-    seed: int, out_dir: Optional[str],
+    seed: int, out_dir: Optional[str], rec=None,
 ) -> Dict:
     """Synthesize with matched prompts; measure matched-vs-mismatched
     similarity margins of the SYNTHESIZED audio."""
@@ -215,14 +221,8 @@ def stage2(
     if len(speakers) < 2:
         raise SystemExit("need >= 2 speakers with >= 2 utterances for stage 2")
 
-    asr_embed = asr_speaker_embedder()
-    recognizer = None
-    try:
-        from flamed_tts_tpu.asr import PhonemeRecognizer
-
-        recognizer = PhonemeRecognizer()
-    except FileNotFoundError:
-        pass
+    asr_embed = asr_speaker_embedder(rec)
+    recognizer = rec
     from tools.evaluate import word_error_rate
 
     margins_codec, margins_mel, margins_asr, wers = [], [], [], []
@@ -267,7 +267,7 @@ def stage2(
                "margin_codec": round(m_codec, 4), "margin_mel": round(m_mel, 4)}
         if recognizer is not None:
             _, hyp = recognizer.transcribe(np.asarray(synth))
-            w = word_error_rate(text, hyp)
+            w = word_error_rate(text, hyp, canon=recognizer.canon)
             wers.append(w)
             row["wer"] = round(w, 4)
             row["hyp"] = hyp
@@ -330,6 +330,10 @@ def main() -> None:
     parser.add_argument("--out-dir", default=None,
                         help="where to keep the stage-2 synthesized wavs")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--holdout-speakers", default="",
+                        help="Comma-separated speaker ids excluded from all "
+                             "training; adds stage1_heldout/stage2_heldout "
+                             "reports restricted to them.")
     parser.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
     args = parser.parse_args()
 
@@ -349,14 +353,33 @@ def main() -> None:
         )
 
     items = read_corpus(args.corpus)
+    rec = load_recognizer()
+    holdout = set(s for s in args.holdout_speakers.split(",") if s)
     report: Dict = {"corpus": args.corpus, "n_items": len(items)}
-    report["stage1"] = stage1(items, codec, args.n_utts, args.seed)
+    report["stage1"] = stage1(items, codec, args.n_utts, args.seed, rec=rec)
+    if holdout:
+        held_items = [it for it in items if it[2] in holdout]
+        print(f"[stage1] held-out speakers only ({sorted(holdout)}):",
+              file=sys.stderr)
+        report["stage1_heldout"] = stage1(
+            held_items, codec, args.n_utts, args.seed, rec=rec
+        )
 
     if args.ckpt and args.ckpt not in ("random", "none"):
         report["stage2"] = stage2(
             items, codec, args.ckpt, args.cfg, args.n_synth, args.nsteps,
-            args.seed, args.out_dir,
+            args.seed, args.out_dir, rec=rec,
         )
+        if holdout:
+            # zero-shot leg: prompts from speakers excluded from ALL
+            # training (codec, Flamed, ASR) — the product claim under test
+            held_items = [it for it in items if it[2] in holdout]
+            print(f"[stage2] held-out-speaker prompts only:", file=sys.stderr)
+            report["stage2_heldout"] = stage2(
+                held_items, codec, args.ckpt, args.cfg, args.n_synth,
+                args.nsteps, args.seed,
+                args.out_dir and args.out_dir + "_heldout", rec=rec,
+            )
 
     print(json.dumps(report))
 

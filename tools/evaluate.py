@@ -44,11 +44,22 @@ def _levenshtein(a: List[str], b: List[str]) -> int:
     return prev[-1]
 
 
-def word_error_rate(ref: str, hyp: str) -> float:
+def word_error_rate(ref: str, hyp: str, canon=None) -> float:
+    """WER = edit distance over words / len(ref).
+
+    ``canon`` (optional) maps a word to an equivalence-class key; a
+    lexicon-constrained decoder can only ever emit ONE spelling per
+    pronunciation, so scoring homophones ("their"/"there") as errors
+    would penalize the decoder for information the audio cannot carry.
+    Pass e.g. asr.PhonemeRecognizer.canon to score pronunciation classes.
+    """
     ref_words = ref.lower().split()
     hyp_words = hyp.lower().split()
     if not ref_words:
         return 0.0
+    if canon is not None:
+        ref_words = [canon(w) for w in ref_words]
+        hyp_words = [canon(w) for w in hyp_words]
     return _levenshtein(ref_words, hyp_words) / len(ref_words)
 
 

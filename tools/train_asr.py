@@ -37,11 +37,14 @@ from flamed_tts_tpu import asr
 CHUNK = 512  # frames per training example (6.4 s)
 
 
-def load_corpus(corpus_dir: str):
+def load_corpus(corpus_dir: str, holdout=()):
     """([(wav_path, spans, spk_id)], n_speakers) from fab_manifest.txt
-    (+ speakers.txt when the fabricator wrote one; spk_id -1 otherwise)."""
+    (+ speakers.txt when the fabricator wrote one; spk_id -1 otherwise).
+    Speakers in ``holdout`` are excluded entirely (their audio is never
+    seen), so the eval harness can report margins on unseen voices."""
     from flamed_tts_tpu.utils.textgrid import get_tier
 
+    holdout = set(holdout)
     spk_of = {}
     spk_path = os.path.join(corpus_dir, "speakers.txt")
     if os.path.isfile(spk_path):
@@ -50,7 +53,9 @@ def load_corpus(corpus_dir: str):
                 if "|" in line:
                     stem, s = line.strip().split("|", 1)
                     spk_of[stem] = s
-    spk_ids = {s: i for i, s in enumerate(sorted(set(spk_of.values())))}
+    spk_ids = {
+        s: i for i, s in enumerate(sorted(set(spk_of.values()) - holdout))
+    }
 
     items = []
     manifest = os.path.join(corpus_dir, "fab_manifest.txt")
@@ -60,6 +65,9 @@ def load_corpus(corpus_dir: str):
             if len(parts) < 3:
                 continue
             wav_path, tg_path = parts[0], parts[1]
+            stem = os.path.splitext(os.path.basename(wav_path))[0]
+            if spk_of.get(stem) in holdout:
+                continue
             spans = [
                 (
                     int(round(iv.start_time * 80)),
@@ -68,7 +76,6 @@ def load_corpus(corpus_dir: str):
                 )
                 for iv in get_tier(tg_path, "phones")
             ]
-            stem = os.path.splitext(os.path.basename(wav_path))[0]
             items.append((wav_path, spans, spk_ids.get(spk_of.get(stem), -1)))
     return items, len(spk_ids)
 
@@ -129,6 +136,9 @@ def main():
     parser.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     parser.add_argument("--train-on", default="clean", choices=["clean", "decoded"])
     parser.add_argument("--codec-dir", default="random")
+    parser.add_argument("--holdout-speakers", default="",
+                        help="Comma-separated speaker ids excluded from "
+                             "training entirely (eval on unseen voices).")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
         "--out",
@@ -163,7 +173,9 @@ def main():
                 load_default_config()["codec_cfg"], ckpt_dir=args.codec_dir
             )
 
-    items, n_speakers = load_corpus(args.corpus)
+    items, n_speakers = load_corpus(
+        args.corpus, holdout=[s for s in args.holdout_speakers.split(",") if s]
+    )
     n_valid = max(len(items) // 10, 2)
     valid_items, train_items = items[:n_valid], items[n_valid:]
     print(f"corpus: {len(train_items)} train / {n_valid} valid utterances, "
@@ -268,10 +280,14 @@ def main():
     rec = asr.PhonemeRecognizer(args.out)
     with open(os.path.join(args.corpus, "fab_manifest.txt"), encoding="utf-8") as fin:
         lines = [l.strip().split("|") for l in fin if l.strip()]
+    # score the same utterances the frame-acc validation used (holdout
+    # filtering can make manifest order differ from item order)
+    valid_wavs = {w for w, _, _ in valid_items}
+    lines = [l for l in lines if l[0] in valid_wavs]
     wers = []
     for wav_path, _, text in lines[: n_valid]:
         _, hyp = rec.transcribe(load_wav(wav_path))
-        wers.append(word_error_rate(text, hyp))
+        wers.append(word_error_rate(text, hyp, canon=rec.canon))
     print(f"valid free-decoding WER on clean audio: {np.mean(wers):.4f} (n={len(wers)})")
 
 
