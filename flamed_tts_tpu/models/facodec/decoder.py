@@ -21,6 +21,7 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from flamed_tts_tpu.models.facodec.encoder import _act_p, _conv_p, _res_unit_p, residual_unit
 from flamed_tts_tpu.models.facodec.quantize import rvq_decode, rvq_encode
@@ -146,7 +147,10 @@ def init_decoder_params(
     for i, stride in enumerate(up_ratios):
         input_dim = ch // (2 ** i)
         output_dim = ch // (2 ** (i + 1))
-        up_w = (jax.random.normal(next(keys), (input_dim, output_dim, 2 * stride)) * 0.02).astype(jnp.float32)
+        # fan-in per output sample of a stride-s convT with k=2s is k/s=2
+        # taps x input_dim channels (see encoder._conv_p on why scaled)
+        up_std = 1.0 / float(np.sqrt(2 * input_dim))
+        up_w = (jax.random.normal(next(keys), (input_dim, output_dim, 2 * stride)) * up_std).astype(jnp.float32)
         params["blocks"].append(
             {
                 "act": _act_p(input_dim),
@@ -157,4 +161,9 @@ def init_decoder_params(
     final_dim = ch // (2 ** len(up_ratios))
     params["final_act"] = _act_p(final_dim)
     params["out"] = _conv_p(next(keys), 1, final_dim, 7)
+    # Small final init: the upsampling stack's activations reach O(10) at
+    # fan-in-scaled init, which saturates the output tanh (|wav| == 1,
+    # zero gradient).  Scaling the last conv keeps tanh in its linear
+    # region at step 0; converted checkpoints overwrite this.
+    params["out"]["w"] = params["out"]["w"] * 0.01
     return params

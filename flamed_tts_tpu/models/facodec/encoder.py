@@ -77,7 +77,14 @@ def encoder_forward(params: Dict, wav: jnp.ndarray, up_ratios: Sequence[int] = (
 
 
 def _conv_p(rng, c_out: int, c_in: int, k: int) -> Dict:
-    w = jax.random.truncated_normal(rng, -2.0, 2.0, (c_out, c_in, k)) * 0.02
+    # Fan-in-scaled init: a fixed 0.02 std attenuates the signal ~3-4
+    # orders of magnitude across the 14-conv stacks (measured latents
+    # ~1e-4 at init), which stalls from-scratch training — the decoder
+    # then fits the batch average for thousands of steps.  Converted
+    # checkpoints overwrite these values, so only tools/train_codec.py
+    # and random-weight benches observe the change.
+    std = 1.0 / float(np.sqrt(c_in * k))
+    w = jax.random.truncated_normal(rng, -2.0, 2.0, (c_out, c_in, k)) * std
     return {"w": w.astype(jnp.float32), "b": jnp.zeros((c_out,), jnp.float32)}
 
 

@@ -96,7 +96,7 @@ def init_cnn_predictor(rng: jax.Array, indim: int, outdim: int, n_heads: int) ->
 
 def fvq_train(
     x: jnp.ndarray, p: Dict, commitment: float = 0.005,
-    normalized_losses: bool = False,
+    normalized_losses: bool = False, center: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Training forward: (quantized w/ straight-through, codes, commit+
     codebook loss per batch element) — quantize/fvq.py:35-86 semantics.
@@ -109,6 +109,16 @@ def fvq_train(
     auxiliary CE heads).  On the unit sphere both terms are bounded and
     scale drift is impossible; used by tools/train_codec.py."""
     z_e = _linear(x, p["in_proj"])  # (B, T, D)
+    if center:
+        # Batch-statistics whitening (stop-grad): recon/CE gradients drift
+        # the shared z_e mean and collapse its covariance to rank ~1 much
+        # faster than the codebook can track, so the normalized nearest-
+        # neighbor degenerates to +-one direction (~2 live codes).  After
+        # whitening, z_e is isotropic and the full codebook stays
+        # selectable.  Whitening is affine, so the trainer folds
+        # (mu, W) exactly into in_proj at save time and the plain
+        # inference path (quantize.py::fvq_encode) sees the same geometry.
+        z_e = _whiten_sg(z_e)
     codes, _ = _nearest(z_e, p["codebook"])
     z_q = jnp.take(p["codebook"], codes, axis=0)
 
@@ -127,6 +137,32 @@ def fvq_train(
     return z_q, codes, loss
 
 
+def _whiten_sg(z_e: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Whiten (B, T, D) with stop-gradient batch statistics: zero mean,
+    identity covariance over the flattened (B*T) samples."""
+    flat = z_e.reshape(-1, z_e.shape[-1])
+    mu = jax.lax.stop_gradient(flat.mean(0))
+    zc = flat - mu
+    cov = jax.lax.stop_gradient((zc.T @ zc) / zc.shape[0])
+    evals, evecs = jnp.linalg.eigh(cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype))
+    w = evecs @ jnp.diag(1.0 / jnp.sqrt(jnp.maximum(evals, eps))) @ evecs.T
+    w = jax.lax.stop_gradient(w)
+    return (zc @ w).reshape(z_e.shape)
+
+
+def whitening_fold(w_in: "np.ndarray", b_in: "np.ndarray", z_samples: "np.ndarray",
+                   eps: float = 1e-5):
+    """Fold the _whiten_sg transform measured on ``z_samples`` (N, D)
+    into an affine in_proj (numpy): returns (w', b') such that
+    in_proj'(x) == whiten(in_proj(x)) for the sample statistics."""
+    mu = z_samples.mean(0)
+    zc = z_samples - mu
+    cov = (zc.T @ zc) / len(zc)
+    evals, evecs = np.linalg.eigh(cov + eps * np.eye(cov.shape[0]))
+    w = evecs @ np.diag(1.0 / np.sqrt(np.maximum(evals, eps))) @ evecs.T
+    return w.T @ w_in, (b_in - mu) @ w
+
+
 def _nearest(z_e: jnp.ndarray, codebook: jnp.ndarray):
     z_n = z_e / jnp.maximum(jnp.linalg.norm(z_e, axis=-1, keepdims=True), 1e-12)
     c_n = codebook / jnp.maximum(jnp.linalg.norm(codebook, axis=-1, keepdims=True), 1e-12)
@@ -141,6 +177,7 @@ def rvq_train(
     rng: Optional[jax.Array] = None,
     quantizer_dropout: float = 0.0,
     normalized_losses: bool = False,
+    center: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Residual VQ training loop with per-sample quantizer dropout
     (quantize/rvq.py:27-73): returns (quantized_out, codes, losses,
@@ -161,7 +198,8 @@ def rvq_train(
     codes, losses, per_layer = [], [], []
     for idx, layer in enumerate(layers):
         z_q, c, loss = fvq_train(residual, layer,
-                                 normalized_losses=normalized_losses)
+                                 normalized_losses=normalized_losses,
+                                 center=center)
         mask = (idx < n_q).astype(x.dtype)
         residual = residual - z_q
         quantized_out = quantized_out + z_q * mask[:, None, None]
@@ -184,6 +222,7 @@ def analyze_train(
     rng: Optional[jax.Array] = None,
     quantizer_dropout: float = 0.0,
     normalized_losses: bool = False,
+    center: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, List[jnp.ndarray], jnp.ndarray]:
     """Training-mode analysis (facodec.py:470-533 with eval_vq=False):
     the 3 RVQ groups run their *training* path (straight-through +
@@ -201,7 +240,7 @@ def analyze_train(
     for gi in range(2):  # prosody, content
         q_out, q_codes, q_losses, per_layer = rvq_train(
             x, params["quantizers"][gi], rngs[gi], quantizer_dropout,
-            normalized_losses=normalized_losses,
+            normalized_losses=normalized_losses, center=center,
         )
         outs = outs + q_out
         codes.append(q_codes)
@@ -210,7 +249,7 @@ def analyze_train(
     residual_in = x - jax.lax.stop_gradient(buf[0] + buf[1])
     q_out, q_codes, q_losses, per_layer = rvq_train(
         residual_in, params["quantizers"][2], rngs[2], quantizer_dropout,
-        normalized_losses=normalized_losses,
+        normalized_losses=normalized_losses, center=center,
     )
     outs = outs + q_out
     codes.append(q_codes)

@@ -112,6 +112,9 @@ def main() -> None:
     parser.add_argument("--quantizer-dropout", type=float, default=0.25)
     parser.add_argument("--revive-every", type=int, default=50,
                         help="Dead-code revival interval (steps).")
+    parser.add_argument("--bypass-vq", action="store_true",
+                        help="Diagnostic: decoder reconstructs from raw "
+                             "latents (no quantization bottleneck).")
     parser.add_argument("--holdout-speakers", default="",
                         help="Comma-separated speaker ids (e.g. spk020,spk021) "
                              "excluded from all codec training.")
@@ -136,7 +139,7 @@ def main() -> None:
     from flamed_tts_tpu import asr
     from flamed_tts_tpu.models.facodec.decoder import init_decoder_params, synthesize
     from flamed_tts_tpu.models.facodec.encoder import encoder_forward, init_encoder_params
-    from flamed_tts_tpu.models.facodec.extras import analyze_train
+    from flamed_tts_tpu.models.facodec.extras import analyze_train, whitening_fold
     from flamed_tts_tpu.ops.melspec import mel_spectrogram
     from flamed_tts_tpu.runtime.pytree_io import pytree_num_params, save_pytree_npz
 
@@ -197,7 +200,11 @@ def main() -> None:
         q_sum, codes, commit, buf, timbre = analyze_train(
             p["dec"], latents, rng, quantizer_dropout=args.quantizer_dropout,
             normalized_losses=True,  # bounded on the sphere (see fvq_train)
+            center=True,             # batch-stat whitening, folded at save
         )
+        if args.bypass_vq:
+            q_sum = latents
+            buf = [latents, latents, latents]
         recon = synthesize(p["dec"], q_sum, timbre)        # (B, T, 1)
 
         wav_l1 = jnp.abs(recon - wav).mean()
@@ -261,7 +268,7 @@ def main() -> None:
         """Per-FVQ-layer pre-quantization projections z_e (6, B*Tf, 8) +
         the codes they select — the pool dead-code revival samples from.
         Mirrors the RVQ group structure of extras.py::analyze_train."""
-        from flamed_tts_tpu.models.facodec.extras import _nearest
+        from flamed_tts_tpu.models.facodec.extras import _nearest, _whiten_sg
         from flamed_tts_tpu.models.facodec.quantize import _linear, fvq_encode
 
         latents = encoder_forward(p["enc"], wav)
@@ -272,7 +279,7 @@ def main() -> None:
             residual = x if gi < 2 else (x - buf[0] - buf[1])
             g_sum = 0.0
             for layer in p["dec"]["quantizers"][gi]:
-                z_e = _linear(residual, layer["in_proj"])
+                z_e = _whiten_sg(_linear(residual, layer["in_proj"]))
                 code, _ = _nearest(z_e, layer["codebook"])
                 zs.append(z_e.reshape(-1, z_e.shape[-1]))
                 cs.append(code.reshape(-1))
@@ -331,9 +338,9 @@ def main() -> None:
                 w_in = np.asarray(layer["in_proj"]["w"], np.float64)
                 b_in = np.asarray(layer["in_proj"]["b"], np.float64)
                 z = residual @ w_in.T + b_in
-                mu = z.mean(0)
-                b_in = b_in - mu
-                z = z - mu
+                w_in, b_in = whitening_fold(w_in, b_in, z)
+                z = residual @ w_in.T + b_in  # whitened
+                layer["in_proj"]["w"] = jnp.asarray(w_in.astype(np.float32))
                 layer["in_proj"]["b"] = jnp.asarray(b_in.astype(np.float32))
                 k = layer["codebook"].shape[0]
                 pick = z[rng_np.permutation(len(z))[:k]]
@@ -365,6 +372,38 @@ def main() -> None:
 
     def save(p):
         ph = jax.device_get(p)
+        # Fold the training-time batch-stat whitening into in_proj so the
+        # plain inference path (quantize.py::fvq_encode, no whitening)
+        # selects the same codes.  Sequential through the RVQ groups: the
+        # residual stream depends on each already-folded layer.
+        probe = np.concatenate([make_batch()[0] for _ in range(4)])
+        lat = np.asarray(jax.device_get(
+            jax.jit(encoder_forward)(ph["enc"], jnp.asarray(probe))
+        ))
+        x = lat.reshape(-1, lat.shape[-1]).astype(np.float64)
+        sums = []
+        for gi, group in enumerate(ph["dec"]["quantizers"]):
+            residual = x if gi < 2 else x - (sums[0] + sums[1])
+            gsum = 0.0
+            for layer in group:
+                w_in = np.asarray(layer["in_proj"]["w"], np.float64)
+                b_in = np.asarray(layer["in_proj"]["b"], np.float64)
+                z = residual @ w_in.T + b_in
+                w_in, b_in = whitening_fold(w_in, b_in, z)
+                z = residual @ w_in.T + b_in
+                layer["in_proj"] = dict(layer["in_proj"])
+                layer["in_proj"]["w"] = jnp.asarray(w_in.astype(np.float32))
+                layer["in_proj"]["b"] = jnp.asarray(b_in.astype(np.float32))
+                cb = np.asarray(layer["codebook"], np.float64)
+                zn = z / np.maximum(np.linalg.norm(z, axis=-1, keepdims=True), 1e-9)
+                cn = cb / np.maximum(np.linalg.norm(cb, axis=-1, keepdims=True), 1e-9)
+                codes = np.argmax(zn @ cn.T, axis=-1)
+                w_out = np.asarray(layer["out_proj"]["w"], np.float64)
+                b_out = np.asarray(layer["out_proj"]["b"], np.float64)
+                q = cb[codes] @ w_out.T + b_out
+                residual = residual - q
+                gsum = gsum + q
+            sums.append(gsum)
         save_pytree_npz(os.path.join(args.out_dir, "ns3_facodec_encoder.npz"), ph["enc"])
         # downstream analysis/synthesis reads only the decoder subtree;
         # heads are saved separately for reproducibility
