@@ -22,7 +22,7 @@ METADATA ?= metadata.txt
 EXP_DIR ?= exp/run1
 DEVICES ?=            # data,model mesh shape, e.g. 4,1 (default: all data)
 
-.PHONY: train synth synth-meta eval avg test bench lint corpus train-g2p train-asr eval-disc
+.PHONY: train synth synth-meta eval avg test bench lint corpus train-g2p train-asr eval-disc train-codec
 
 train:
 	$(PYTHON) train.py --config-dir $(CFG) --exp-dir $(EXP_DIR) \
@@ -70,6 +70,13 @@ corpus:
 	$(PYTHON) tools/precompute_dataset.py --manifest $(CORPUS)/fab_manifest.txt \
 		--out-dir $(CORPUS_NPZ) --codec-dir random --device tpu
 	cp $(CORPUS)/speakers.txt $(CORPUS_NPZ)/
+
+CODEC_DIR ?= _work/codec_r5
+HOLDOUT ?= spk020,spk021,spk022,spk023
+
+train-codec:
+	$(PYTHON) tools/train_codec.py --corpus $(CORPUS) --out-dir $(CODEC_DIR) \
+		--steps 8000 --holdout-speakers $(HOLDOUT) --device tpu
 
 train-g2p:
 	$(PYTHON) tools/train_g2p.py --device tpu

@@ -19,8 +19,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BATCH = 4
-NSTEPS_DENOISER = 128
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+NSTEPS_DENOISER = int(os.environ.get("BENCH_NFE", "128"))
 NSTEPS_DURGEN = 16  # the README's high-fidelity operating point (README.md:64-67)
 
 TEXTS = [
@@ -28,7 +28,12 @@ TEXTS = [
     "A journey of a thousand miles begins with a single small step forward.",
     "Science is a way of thinking much more than it is a body of knowledge.",
     "In the middle of difficulty lies opportunity for those who seek it out.",
+    "The committee will reconvene tomorrow morning to review the final draft.",
+    "Bright autumn leaves drifted slowly across the quiet village square.",
+    "Seventeen students volunteered to organize the charity concert this year.",
+    "He carefully measured each ingredient before starting the experiment.",
 ]
+TEXTS = (TEXTS * ((BATCH + len(TEXTS) - 1) // len(TEXTS)))[:BATCH]
 
 
 def main() -> None:

@@ -137,16 +137,30 @@ def fvq_train(
     return z_q, codes, loss
 
 
-def _whiten_sg(z_e: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+def _whiten_sg(z_e: jnp.ndarray) -> jnp.ndarray:
     """Whiten (B, T, D) with stop-gradient batch statistics: zero mean,
-    identity covariance over the flattened (B*T) samples."""
+    ~identity covariance over the flattened (B*T) samples.
+
+    The inverse square root uses a Newton-Schulz iteration (pure
+    matmuls): jnp.linalg.eigh inside jit produced sporadic NaNs on the
+    TPU backend for near-degenerate 8x8 covariances, which then poisoned
+    the training state through the dead-code revival path."""
     flat = z_e.reshape(-1, z_e.shape[-1])
+    d = flat.shape[-1]
     mu = jax.lax.stop_gradient(flat.mean(0))
     zc = flat - mu
     cov = jax.lax.stop_gradient((zc.T @ zc) / zc.shape[0])
-    evals, evecs = jnp.linalg.eigh(cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype))
-    w = evecs @ jnp.diag(1.0 / jnp.sqrt(jnp.maximum(evals, eps))) @ evecs.T
-    w = jax.lax.stop_gradient(w)
+    eye = jnp.eye(d, dtype=cov.dtype)
+    tr = jnp.trace(cov)
+    cov = cov + (1e-3 * tr / d + 1e-8) * eye  # conditioning floor
+    t = jnp.trace(cov)
+    y = cov / t
+    z = eye
+    for _ in range(25):  # eigenvalues of y in (0, 1]: globally convergent
+        s = 0.5 * (3.0 * eye - z @ y)
+        y = y @ s
+        z = s @ z
+    w = jax.lax.stop_gradient(z / jnp.sqrt(t))  # cov^{-1/2}
     return (zc @ w).reshape(z_e.shape)
 
 

@@ -191,8 +191,13 @@ def main() -> None:
     )
     # No weight decay: shrinking codebooks/Snake log-scales toward zero
     # distorts the VQ geometry (normalized nearest-neighbor) for no
-    # regularization benefit at this corpus size.
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    # regularization benefit at this corpus size.  apply_if_finite: one
+    # transient inf batch otherwise NaNs the params permanently (observed
+    # at step ~1500; clip_by_global_norm propagates nan to every leaf).
+    tx = optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched)),
+        max_consecutive_errors=50,
+    )
     opt_state = tx.init(params)
 
     def loss_fn(p, wav, lab, spk, rng):
@@ -295,6 +300,10 @@ def main() -> None:
         samples (standard VQ-VAE dead-code restart; the normalized
         nearest-neighbor makes collapse otherwise absorbing)."""
         zs, cs = jax.device_get(layer_z_e(p, jnp.asarray(wav_b)))
+        if not np.isfinite(zs).all():
+            print("  [revive] non-finite z_e pool; skipping this revival",
+                  flush=True)
+            return [0] * 6
         layers = [l for g in p["dec"]["quantizers"] for l in g]
         n_revived = []
         for li, layer in enumerate(layers):
@@ -422,6 +431,16 @@ def main() -> None:
             )
             if step % args.log_every == 0 or step == 1:
                 m = jax.device_get(metrics)
+                if not np.isfinite(float(m["total"])):
+                    bad = []
+                    for path, leaf in jax.tree_util.tree_leaves_with_path(
+                        jax.device_get(params)
+                    ):
+                        if not np.isfinite(np.asarray(leaf)).all():
+                            bad.append(jax.tree_util.keystr(path))
+                    print(f"[FATAL] non-finite loss at step {step}; "
+                          f"non-finite params: {bad[:8]}", flush=True)
+                    sys.exit(1)
                 now = time.time()
                 sps = (step - last_step) / max(now - last_t, 1e-9)
                 last_t, last_step = now, step
