@@ -161,6 +161,11 @@ def _whiten_sg(z_e: jnp.ndarray) -> jnp.ndarray:
         y = y @ s
         z = s @ z
     w = jax.lax.stop_gradient(z / jnp.sqrt(t))  # cov^{-1/2}
+    # fp32 safety net: if the iteration ever emits a non-finite entry
+    # (extreme batch covariances), fall back to isotropic variance
+    # scaling for this batch instead of poisoning the whole loss.
+    iso = eye / jnp.sqrt(jnp.maximum(t / d, 1e-12))
+    w = jnp.where(jnp.isfinite(w).all(), w, iso)
     return (zc @ w).reshape(z_e.shape)
 
 

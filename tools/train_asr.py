@@ -111,7 +111,11 @@ def featurize(items, codec=None, decoded_cache=None, log=print):
             # distinct wav length is otherwise a fresh compile through
             # the relay (300 utterances -> 300 compiles).
             sr = 16000
-            v_pad = np.pad(v, (0, (-len(v)) % sr))
+            # Reflect-pad (not zero-pad) so frames whose analysis window
+            # crosses len(v) see the same reflected samples the unpadded
+            # inference path (PhonemeRecognizer.frame_logits) sees —
+            # melspec reflect-pads at the true waveform end.
+            v_pad = np.pad(v, (0, (-len(v)) % sr), mode="reflect")
             true_frames = len(v) // 200
             mel = np.asarray(mel_fn(jnp.asarray(v_pad[None, :])))[0].T[:true_frames]
             T = min(mel.shape[0], n_frames)

@@ -438,9 +438,21 @@ def main() -> None:
                     ):
                         if not np.isfinite(np.asarray(leaf)).all():
                             bad.append(jax.tree_util.keystr(path))
-                    print(f"[FATAL] non-finite loss at step {step}; "
-                          f"non-finite params: {bad[:8]}", flush=True)
-                    sys.exit(1)
+                    bad_terms = [
+                        k for k, v in m.items()
+                        if k != "code_usage" and not np.isfinite(float(np.asarray(v).sum()))
+                    ]
+                    if bad:
+                        # Params poisoned: nothing to salvage, abort loudly.
+                        print(f"[FATAL] non-finite loss at step {step}; "
+                              f"non-finite params: {bad[:8]}", flush=True)
+                        sys.exit(1)
+                    # Transient bad batch: apply_if_finite already skipped
+                    # the update; name the culprit terms and keep going.
+                    print(f"  [warn] non-finite loss terms at step {step} "
+                          f"({bad_terms}); params finite, update skipped",
+                          flush=True)
+                    continue
                 now = time.time()
                 sps = (step - last_step) / max(now - last_t, 1e-9)
                 last_t, last_step = now, step
