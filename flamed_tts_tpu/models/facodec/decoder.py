@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flamed_tts_tpu.models.facodec.encoder import _act_p, _conv_p, _res_unit_p, residual_unit
+from flamed_tts_tpu.models.facodec.encoder import _act_p, _conv_p, _res_unit_p
 from flamed_tts_tpu.models.facodec.quantize import rvq_decode, rvq_encode
 from flamed_tts_tpu.models.facodec.timbre import init_timbre_params, timbre_encoder_forward
 from flamed_tts_tpu.ops.conv1d import conv1d, conv_transpose1d
@@ -74,9 +74,9 @@ def decoder_block(x: jnp.ndarray, p: Dict, stride: int) -> jnp.ndarray:
         x, p["up"]["w"], p["up"]["b"],
         stride=stride, padding=pad, output_padding=stride % 2,
     )
-    for unit, dilation in zip(p["res"], (1, 3, 9)):
-        x = residual_unit(x, unit, dilation)
-    return x
+    from flamed_tts_tpu.models.facodec.encoder import residual_stack
+
+    return residual_stack(x, p["res"])
 
 
 def synthesize(

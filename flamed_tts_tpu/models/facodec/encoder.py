@@ -54,11 +54,27 @@ def residual_unit(x: jnp.ndarray, p: Dict, dilation: int) -> jnp.ndarray:
     return residual_unit_xla(x, p, dilation)
 
 
+def residual_stack(x: jnp.ndarray, units, dilations=(1, 3, 9)) -> jnp.ndarray:
+    """A block's three residual units.  On TPU at production shapes the
+    whole stack runs as ONE fused Pallas kernel (the two intermediate
+    (T, C) activations never leave VMEM — ops/pallas_resunit.py); below
+    the size threshold / off-TPU it falls back to per-unit dispatch."""
+    from flamed_tts_tpu.ops.resample import _pallas_available
+
+    c, l = x.shape[2], x.shape[1]
+    if _pallas_available() and c >= 32 and l * c >= 1_000_000:
+        from flamed_tts_tpu.ops.pallas_resunit import residual_stack_pallas
+
+        return residual_stack_pallas(x, units, dilations)
+    for p, d in zip(units, dilations):
+        x = residual_unit(x, p, int(d))
+    return x
+
+
 def encoder_block(x: jnp.ndarray, p: Dict, stride: int) -> jnp.ndarray:
     """3 residual units (dilations 1, 3, 9) + strided doubling conv
     (facodec.py:136-155)."""
-    for unit, dilation in zip(p["res"], (1, 3, 9)):
-        x = residual_unit(x, unit, dilation)
+    x = residual_stack(x, p["res"])
     x = snake_filtered(x, p["act"]["alpha"], p["act"]["beta"])
     pad = stride // 2 + stride % 2
     return conv1d(x, p["down"]["w"], p["down"]["b"], stride=stride, padding=pad)

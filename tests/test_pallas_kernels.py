@@ -78,6 +78,72 @@ def test_fused_residual_unit_matches_xla():
         )
 
 
+def test_fused_residual_stack_matches_xla():
+    """Whole-block fusion (3 units, dilations 1/3/9, one kernel) vs the
+    sequential XLA chain, across folds and multi-tile grids."""
+    from flamed_tts_tpu.models.facodec.encoder import residual_unit_xla
+    import flamed_tts_tpu.ops.pallas_resunit as pru
+
+    rng = np.random.RandomState(11)
+
+    def unit_params(c):
+        return {
+            "act1": {"alpha": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1),
+                     "beta": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)},
+            "act2": {"alpha": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1),
+                     "beta": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)},
+            "conv1": {"w": jnp.asarray(rng.randn(c, c, 7).astype(np.float32) * 0.1),
+                      "b": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)},
+            "conv2": {"w": jnp.asarray(rng.randn(c, c, 1).astype(np.float32) * 0.1),
+                      "b": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)},
+        }
+
+    for (t_len, c, tile) in [
+        (1400, 16, 512),    # unfolded, 3 tiles, partial last tile
+        (610, 16, 512),     # unfolded, 2 tiles, tail inside halo zone
+        (1300, 64, 512),    # folded F=2 (total halo 108), 3 tiles
+        (2300, 32, 640),    # folded F=4 (total halo 140), 4 tiles
+    ]:
+        units = [unit_params(c) for _ in range(3)]
+        x = jnp.asarray(rng.randn(2, t_len, c).astype(np.float32))
+        ref = x
+        for p, d in zip(units, (1, 3, 9)):
+            ref = residual_unit_xla(ref, p, d)
+        out = pru.residual_stack_pallas(x, units, (1, 3, 9), tile=tile)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4,
+            err_msg=f"t_len={t_len} c={c} tile={tile}",
+        )
+
+
+def test_fused_residual_stack_short_input_falls_back():
+    """Below the tile threshold the stack must route to per-unit dispatch
+    (which itself falls back to XLA here) and still match."""
+    from flamed_tts_tpu.models.facodec.encoder import residual_unit_xla
+    import flamed_tts_tpu.ops.pallas_resunit as pru
+
+    rng = np.random.RandomState(12)
+    c = 8
+    units = []
+    for _ in range(3):
+        units.append({
+            "act1": {"alpha": jnp.zeros(c), "beta": jnp.zeros(c)},
+            "act2": {"alpha": jnp.zeros(c), "beta": jnp.zeros(c)},
+            "conv1": {"w": jnp.asarray(rng.randn(c, c, 7).astype(np.float32) * 0.1),
+                      "b": jnp.zeros(c)},
+            "conv2": {"w": jnp.asarray(rng.randn(c, c, 1).astype(np.float32) * 0.1),
+                      "b": jnp.zeros(c)},
+        })
+    x = jnp.asarray(rng.randn(1, 60, c).astype(np.float32))
+    ref = x
+    for p, d in zip(units, (1, 3, 9)):
+        ref = residual_unit_xla(ref, p, d)
+    np.testing.assert_allclose(
+        np.asarray(pru.residual_stack_pallas(x, units)), np.asarray(ref),
+        atol=1e-6,
+    )
+
+
 def test_fused_residual_unit_short_input_falls_back():
     from flamed_tts_tpu.models.facodec.encoder import residual_unit_xla
     import flamed_tts_tpu.ops.pallas_resunit as pru

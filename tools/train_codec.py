@@ -123,6 +123,9 @@ def main() -> None:
     parser.add_argument("--w-commit", type=float, default=1.0)
     parser.add_argument("--w-phone", type=float, default=2.0)
     parser.add_argument("--w-spk", type=float, default=1.0)
+    parser.add_argument("--w-latreg", type=float, default=1.0,
+                        help="latent log-RMS^2 scale pin (the codec is "
+                             "scale-invariant in the latents; see loss_fn)")
     args = parser.parse_args()
 
     import jax
@@ -194,9 +197,13 @@ def main() -> None:
     # regularization benefit at this corpus size.  apply_if_finite: one
     # transient inf batch otherwise NaNs the params permanently (observed
     # at step ~1500; clip_by_global_norm propagates nan to every leaf).
+    # NEVER let apply_if_finite "give up and apply" (that is how a run of
+    # non-finite grads poisoned the params at step 1700 exactly
+    # 50 steps after onset); instead the loop below watches the skip
+    # counter and aborts with params still finite + saved.
     tx = optax.apply_if_finite(
         optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched)),
-        max_consecutive_errors=50,
+        max_consecutive_errors=10 ** 9,
     )
     opt_state = tx.init(params)
 
@@ -243,9 +250,18 @@ def main() -> None:
         spk_ce = -((0.95 * onehot_s + 0.05 / slogp.shape[-1]) * slogp).sum(-1).mean()
 
         commit_loss = commit.sum()
+        # Latent scale pin: synthesize() layer-norms the latents and the
+        # VQ whitens them, so the system is scale-INVARIANT in `latents`
+        # and nothing opposes exponential activation growth (observed:
+        # RMS 1e13 by step 1000, inf weight grads by 1650 — the loss
+        # stays finite while the backward overflows).  log-RMS^2 pins
+        # the scale to O(1) with bounded gradients and zero effect on
+        # what the model can express.
+        lat_rms = jnp.sqrt(jnp.mean(latents ** 2) + 1e-12)
+        lat_reg = jnp.log(lat_rms) ** 2
         total = (args.w_mel * mel_l1 + args.w_wav * wav_l1
                  + args.w_commit * commit_loss + args.w_phone * phone_ce
-                 + args.w_spk * spk_ce)
+                 + args.w_spk * spk_ce + args.w_latreg * lat_reg)
         # code-usage diagnostics: distinct codes per stream this batch
         usage = jnp.stack([
             (jnp.zeros((1024,)).at[codes[i].reshape(-1)].add(1.0) > 0).sum()
@@ -254,6 +270,7 @@ def main() -> None:
         metrics = {
             "mel_l1": mel_l1, "wav_l1": wav_l1, "commit": commit_loss,
             "phone_ce": phone_ce, "spk_ce": spk_ce, "total": total,
+            "lat_rms": lat_rms,
             "phone_acc": (jnp.argmax(phone_logits, -1) == lab[:, :tf]).mean(),
             "spk_acc": (jnp.argmax(spk_logits, -1) == spk).mean(),
             "code_usage": usage,
@@ -449,9 +466,16 @@ def main() -> None:
                         sys.exit(1)
                     # Transient bad batch: apply_if_finite already skipped
                     # the update; name the culprit terms and keep going.
+                    nf = int(jax.device_get(opt_state.notfinite_count))
                     print(f"  [warn] non-finite loss terms at step {step} "
-                          f"({bad_terms}); params finite, update skipped",
-                          flush=True)
+                          f"({bad_terms}); params finite, update skipped "
+                          f"(consecutive skips: {nf})", flush=True)
+                    if nf >= 250:
+                        save(params)
+                        print(f"[FATAL] {nf} consecutive skipped updates — "
+                              f"training cannot progress; params saved",
+                              flush=True)
+                        sys.exit(1)
                     continue
                 now = time.time()
                 sps = (step - last_step) / max(now - last_t, 1e-9)
