@@ -87,8 +87,16 @@ def main() -> None:
     for line in lines:
         try:
             wav_path, tg_path, transcript = line.split("|", 2)
+            stem0 = os.path.splitext(os.path.basename(wav_path))[0]
+            prior = os.path.join(args.out_dir, f"{stem0}.npz")
             wav = load_wav(wav_path, sr=args.sampling_rate)
             duration = len(wav) / args.sampling_rate
+            if os.path.isfile(prior):
+                # resume support: an interrupted run keeps its finished
+                # utterances (codes are deterministic given the codec)
+                manifest_out.append(f"{stem0}.npz|{duration:.3f}|{transcript}")
+                n_done += 1
+                continue
 
             codes, timbre = codec.encode_prompt(wav)  # (6, Lf), (256,)
             emb = np.asarray(
