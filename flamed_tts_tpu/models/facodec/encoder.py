@@ -12,6 +12,7 @@ conversion time.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Sequence
 
 import jax
@@ -62,7 +63,16 @@ def residual_stack(x: jnp.ndarray, units, dilations=(1, 3, 9)) -> jnp.ndarray:
     from flamed_tts_tpu.ops.resample import _pallas_available
 
     c, l = x.shape[2], x.shape[1]
-    if _pallas_available() and c >= 32 and l * c >= 1_000_000:
+    if (
+        os.environ.get("FLAMED_STACK_KERNEL")
+        and _pallas_available()
+        and c >= 32
+        and l * c >= 1_000_000
+    ):
+        # Opt-in until tools/check_stack_tpu.py has passed on real Mosaic
+        # (interpret-mode parity is green; the actual-TPU run is gated on
+        # device time).  Default path: per-unit Pallas kernels, proven in
+        # the r4 bench.
         from flamed_tts_tpu.ops.pallas_resunit import residual_stack_pallas
 
         return residual_stack_pallas(x, units, dilations)

@@ -191,6 +191,9 @@ class BucketedSampler:
         from flamed_tts_tpu.models.facodec.decoder import analyze
         from flamed_tts_tpu.models.facodec.encoder import encoder_forward
 
+        if jnp.issubdtype(wav.dtype, jnp.integer):
+            # inverse of the host-side int16 wire quantization above
+            wav = wav.astype(jnp.float32) * (1.0 / 32767.0)
         n_frames_total = wav.shape[1] // hop
         # A prompt longer than the largest wav-second bucket arrives
         # truncated; clamp the frame count so zero-padded tail frames
@@ -341,7 +344,15 @@ class BucketedSampler:
             )
             if prompt_wav is not None:
                 with sample_span("prompt_place"):
-                    wav_j = place(np.asarray(prompt_wav, dtype=np.float32)[:, :, None])
+                    # int16 PCM on the wire, mirroring the output leg: the
+                    # prompt is int16-sourced (load_wav), so the round trip
+                    # is lossless and upload bytes halve through the
+                    # ~15-20 MB/s tunnel (tools/probe_tunnel.py).
+                    wav_q = np.round(
+                        np.clip(np.asarray(prompt_wav, dtype=np.float32), -1.0, 1.0)
+                        * 32767.0
+                    ).astype(np.int16)
+                    wav_j = place(wav_q[:, :, None])
                     frames_j = place(np.asarray(prompt_frames, dtype=np.int32))
 
                 def call_fused(f_bucket):
