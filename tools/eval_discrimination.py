@@ -329,6 +329,9 @@ def main() -> None:
     parser.add_argument("--nsteps", type=int, default=32)
     parser.add_argument("--out-dir", default=None,
                         help="where to keep the stage-2 synthesized wavs")
+    parser.add_argument("--out-json", default=None,
+                        help="write the report here after EVERY stage "
+                             "(stdout still gets the final JSON)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--holdout-speakers", default="",
                         help="Comma-separated speaker ids excluded from all "
@@ -356,7 +359,17 @@ def main() -> None:
     rec = load_recognizer()
     holdout = set(s for s in args.holdout_speakers.split(",") if s)
     report: Dict = {"corpus": args.corpus, "n_items": len(items)}
+
+    def flush():
+        # Incremental: a wall-clock kill mid-stage keeps every finished
+        # stage (a 25-min run dying 20 s before the end must not lose
+        # its artifact).
+        if args.out_json:
+            with open(args.out_json, "w", encoding="utf-8") as f:
+                json.dump(report, f)
+
     report["stage1"] = stage1(items, codec, args.n_utts, args.seed, rec=rec)
+    flush()
     if holdout:
         held_items = [it for it in items if it[2] in holdout]
         print(f"[stage1] held-out speakers only ({sorted(holdout)}):",
@@ -364,12 +377,14 @@ def main() -> None:
         report["stage1_heldout"] = stage1(
             held_items, codec, args.n_utts, args.seed, rec=rec
         )
+        flush()
 
     if args.ckpt and args.ckpt not in ("random", "none"):
         report["stage2"] = stage2(
             items, codec, args.ckpt, args.cfg, args.n_synth, args.nsteps,
             args.seed, args.out_dir, rec=rec,
         )
+        flush()
         if holdout:
             # zero-shot leg: prompts from speakers excluded from ALL
             # training (codec, Flamed, ASR) — the product claim under test
@@ -380,6 +395,7 @@ def main() -> None:
                 args.nsteps, args.seed,
                 args.out_dir and args.out_dir + "_heldout", rec=rec,
             )
+            flush()
 
     print(json.dumps(report))
 
