@@ -44,7 +44,7 @@ print("PLATFORM=" + jax.devices()[0].platform)
 """
 
 
-def probe_backend(timeout_s: int = 180, metric: str = "rtf_single_utt_nfe64") -> None:
+def probe_backend(timeout_s: int = 480, metric: str = "rtf_single_utt_nfe64") -> None:
     """Fail fast and diagnosably if the TPU backend is down.
 
     The axon tunnel has two observed failure modes: RuntimeError("Unable
@@ -72,15 +72,23 @@ def probe_backend(timeout_s: int = 180, metric: str = "rtf_single_utt_nfe64") ->
         )
         sys.exit(2)
 
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", _PROBE_SRC],
-            capture_output=True,
-            text=True,
-            timeout=timeout_s,
-        )
-    except subprocess.TimeoutExpired:
-        _emit_and_exit("tpu_unavailable", f"backend init hang > {timeout_s}s")
+    # Observed r5: backend init latency is bimodal (~10 s healthy,
+    # ~2-3 min degraded) — one retry before declaring the chip down.
+    proc = None
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+            )
+            break
+        except subprocess.TimeoutExpired:
+            if attempt == 1:
+                _emit_and_exit(
+                    "tpu_unavailable", f"backend init hang > {timeout_s}s x2"
+                )
     if proc.returncode != 0:
         tail = (proc.stderr or "").strip().splitlines()[-1:] or ["no output"]
         _emit_and_exit("tpu_unavailable", tail[0])
