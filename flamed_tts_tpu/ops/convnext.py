@@ -33,6 +33,41 @@ def modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndar
     return x * (1.0 + scale) + shift
 
 
+class DepthwiseConv1D(nn.Module):
+    """Per-channel conv along time via K shifted multiply-adds.
+
+    Math- and param-compatible with
+    ``nn.Conv(C, (K,), feature_group_count=C)`` (kernel (K, 1, C) +
+    bias (C,), cross-correlation, zero padding) but lowered as fused
+    elementwise VPU work instead of a grouped convolution: XLA's
+    grouped-conv path collapses at batch>4 on TPU (measured 0.235 ->
+    38 ms/denoiser-step from batch 1 to 8, 3.3% MXU — the conv turns
+    into serialized per-group work), while K shifted slices stay
+    bandwidth-bound at every batch size.  Used by every ConvNeXt block
+    (the denoiser hot path, once per Euler step).
+    """
+
+    features: int
+    kernel: int
+    padding: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, 1, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        t = x.shape[1]
+        xpad = jnp.pad(x, ((0, 0), (self.padding, self.padding), (0, 0)))
+        kc = k.astype(x.dtype)
+        acc = xpad[:, :t, :] * kc[0, 0]
+        for i in range(1, self.kernel):
+            acc = acc + xpad[:, i : i + t, :] * kc[i, 0]
+        return acc + b.astype(x.dtype)
+
+
 class TimestepEmbedder(nn.Module):
     """Sinusoidal frequency embedding -> 2-layer MLP (prob_generator.py:35-72)."""
 
@@ -68,13 +103,21 @@ class ConvNeXtBlock(nn.Module):
             # boundary sees zeros, exactly like the reference's conv
             # zero-padding at its (exact) sequence end.
             h = jnp.where(pad_mask[:, :, None], 0.0, h)
-        h = nn.Conv(
-            self.channels,
-            kernel_size=(self.kernel,),
-            padding=[(self.padding, self.padding)],
-            feature_group_count=groups,
-            name="conv_1",
-        )(h)
+        if groups == self.channels:
+            h = DepthwiseConv1D(
+                features=self.channels,
+                kernel=self.kernel,
+                padding=self.padding,
+                name="conv_1",
+            )(h)
+        else:
+            h = nn.Conv(
+                self.channels,
+                kernel_size=(self.kernel,),
+                padding=[(self.padding, self.padding)],
+                feature_group_count=groups,
+                name="conv_1",
+            )(h)
         h = MaskedGroupNorm(
             num_groups=self.channels, channels=self.channels, name="ln_1"
         )(h, pad_mask)
