@@ -221,6 +221,10 @@ def main() -> None:
                         help="Speaker-pool size (voices: f0/tract-scale/tilt).")
     parser.add_argument("--dur-max", type=float, default=15.0,
                         help="Resample utterances whose draw exceeds this (s).")
+    parser.add_argument("--prefix", default="utt",
+                        help="Utterance stem prefix; distinct prefixes let "
+                             "independently fabricated batches share one "
+                             "precompute dir without filename collisions.")
     args = parser.parse_args()
 
     from flamed_tts_tpu.text.frontend import EnglishFrontend
@@ -267,7 +271,7 @@ def main() -> None:
                 break
         durations.append(dur)
 
-        stem = f"utt{u:05d}"
+        stem = f"{args.prefix}{u:05d}"
         tg = os.path.join(args.out_dir, f"{stem}.TextGrid")
         wv = os.path.join(args.out_dir, f"{stem}.wav")
         _textgrid(intervals, tg)
