@@ -38,8 +38,12 @@ SIL = 0  # covers sil/sp/spn/empty
 PHONE_TO_ID: Dict[str, int] = {p: i + 1 for i, p in enumerate(BASE_PHONES)}
 N_CLASSES = len(BASE_PHONES) + 1
 
-D_MODEL = 192
-N_LAYERS = 6
+# Init-time dims only: load_weights/forward infer every shape from the
+# npz, so widening here never invalidates committed weights.  r4 trained
+# at 192x6 (frame-acc 0.514 -- the trunk was the binding limit per the
+# round-4 roofline of the WER floor); r5 trains 256x8 on the 4.7x corpus.
+D_MODEL = 256
+N_LAYERS = 8
 KERNEL = 5
 SPK_EMB_DIM = 64
 
